@@ -1,0 +1,198 @@
+"""Text-preprocessing pipeline (reference-parity, Arrow-vectorized).
+
+Reproduces the reference's fixed step order
+(`baguetter/indices/sparse/text_preprocessor/text_processor.py:30-81`):
+
+    lowercase -> ampersand -> special-chars -> acronyms -> punctuation
+    (-> whitespace-strip iff whitespace tokenizer) -> tokenize -> stopwords
+    -> stem -> drop-empty
+
+Step semantics (exact, `.../text_preprocessor/normalization.py`):
+  T1 lowercasing        = ``str.lower()``            (normalization.py:20-30)
+  T2 ampersand          = ``replace("&", " and ")``  (normalization.py:33-43)
+  T3 special chars      = translate ``‘’´“”–-`` -> ``'''""--`` (normalization.py:13,59-69)
+  T4 acronyms           = ``re.sub(r"\\.(?!(\\S[^. ])|\\d)", "", t)`` (normalization.py:72-82)
+  T5 punctuation        = translate 32 ASCII punct chars -> space (normalization.py:14-17,85-95)
+  T6 whitespace strip   = ``" ".join(t.split())`` — subsumed by ``str.split()`` (normalization.py:98-108)
+  T7 tokenize           = ``str.split`` (tokenizer.py:12-26; default "whitespace")
+  T8 stopword filter    = ``[t for t in toks if t not in stopwords]`` (normalization.py:124-135)
+  T9 stem               = ``map(stemmer, toks)`` (normalization.py:138-149)
+  T10 drop empty        = ``[t for t in toks if t]`` (normalization.py:152-162)
+
+Two execution surfaces share the same semantics:
+- ``make_processor`` — plain-Python ``str -> list[str]`` (oracle / driver side);
+- ``process_series`` / ``tokens_udf`` — pandas-vectorized over Arrow batches
+  (the engine's hot path; pandas ``.str`` ops are C-level and use Python
+  ``re``/``str`` semantics, giving byte parity with the reference where
+  Spark SQL functions would not, e.g. Unicode lowercasing and the
+  lookahead regex that Java/RE2 handle differently).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from baguetter_spark.config import TextPreprocessorConfig
+from baguetter_spark.functions.snowball import get_stemmer
+from baguetter_spark.functions.stopwords import get_stopwords
+
+if TYPE_CHECKING:
+    pass
+
+_SPECIAL_CHARS_TRANS = str.maketrans("‘’´“”–-", "'''\"\"--")  # noqa: RUF001
+_PUNCT_TRANS = str.maketrans(string.punctuation, " " * len(string.punctuation))
+_ACRONYM_RE = re.compile(r"\.(?!(\S[^. ])|\d)")
+
+_SUPPORTED_TOKENIZERS = ("whitespace",)
+
+
+# --- individual steps (exact reference I/O; tested against the reference's
+# own goldens, tests/.../text_normalization_test.py:7-31) ---
+
+
+def lowercasing(text: str) -> str:
+    return text.lower()
+
+
+def normalize_ampersand(text: str) -> str:
+    return text.replace("&", " and ")
+
+
+def normalize_special_chars(text: str) -> str:
+    return text.translate(_SPECIAL_CHARS_TRANS)
+
+
+def normalize_acronyms(text: str) -> str:
+    return _ACRONYM_RE.sub("", text)
+
+
+def remove_punctuation(text: str) -> str:
+    return text.translate(_PUNCT_TRANS)
+
+
+def strip_whitespaces(text: str) -> str:
+    return " ".join(text.split())
+
+
+def _resolve(cfg: TextPreprocessorConfig):
+    if cfg.tokenizer not in _SUPPORTED_TOKENIZERS:
+        msg = (
+            f"Tokenizer {cfg.tokenizer!r} not supported offline "
+            f"(reference nltk tokenizers unavailable; use 'whitespace')."
+        )
+        raise ValueError(msg)
+    stopword_set: frozenset[str] | None
+    if cfg.stopwords is None:
+        stopword_set = None
+    elif isinstance(cfg.stopwords, str):
+        stopword_set = get_stopwords(cfg.stopwords)
+    else:
+        stopword_set = frozenset(cfg.stopwords) or None
+    stemmer = get_stemmer(cfg.stemmer) if cfg.stemmer else None
+    return stopword_set, stemmer
+
+
+def make_processor(cfg: TextPreprocessorConfig | None = None) -> Callable[[str], list[str]]:
+    """Build a plain-Python ``text -> tokens`` function with exact reference step order."""
+    cfg = cfg or TextPreprocessorConfig()
+    stopword_set, stemmer = _resolve(cfg)
+
+    def process(text: str) -> list[str]:
+        if text is None:
+            return []
+        if cfg.do_lowercasing:
+            text = text.lower()
+        if cfg.do_ampersand_normalization:
+            text = text.replace("&", " and ")
+        if cfg.do_special_chars_normalization:
+            text = text.translate(_SPECIAL_CHARS_TRANS)
+        if cfg.do_acronyms_normalization:
+            text = _ACRONYM_RE.sub("", text)
+        if cfg.do_punctuation_removal:
+            text = text.translate(_PUNCT_TRANS)
+            # strip_whitespaces is a no-op under str.split() semantics
+        tokens = text.split()
+        if stopword_set is not None:
+            tokens = [t for t in tokens if t not in stopword_set]
+        if stemmer is not None:
+            tokens = [stemmer(t) for t in tokens]
+        return [t for t in tokens if t]
+
+    return process
+
+
+# Memoized per-task stem cache: natural-language token distributions are
+# Zipfian, so a small dict cache removes almost all stemmer invocations.
+def _stem_tokens_cached(
+    tokens_lists: pd.Series,
+    stemmer: Callable[[str], str],
+    cache: dict[str, str],
+) -> pd.Series:
+    def stem_list(toks: list[str]) -> list[str]:
+        out = []
+        for t in toks:
+            s = cache.get(t)
+            if s is None:
+                s = stemmer(t)
+                cache[t] = s
+            out.append(s)
+        return out
+
+    return tokens_lists.map(stem_list)
+
+
+def process_series(s: pd.Series, cfg: TextPreprocessorConfig | None = None) -> pd.Series:
+    """Vectorized pipeline over a pandas Series of strings -> Series of token lists.
+
+    pandas ``.str`` operations run at C speed but keep Python ``str``/``re``
+    semantics, so output is byte-identical to :func:`make_processor`.
+    """
+    cfg = cfg or TextPreprocessorConfig()
+    stopword_set, stemmer = _resolve(cfg)
+
+    s = s.fillna("")
+    if cfg.do_lowercasing:
+        s = s.str.lower()
+    if cfg.do_ampersand_normalization:
+        s = s.str.replace("&", " and ", regex=False)
+    if cfg.do_special_chars_normalization:
+        s = s.str.translate(_SPECIAL_CHARS_TRANS)
+    if cfg.do_acronyms_normalization:
+        s = s.str.replace(_ACRONYM_RE, "", regex=True)
+    if cfg.do_punctuation_removal:
+        s = s.str.translate(_PUNCT_TRANS)
+    toks = s.str.split()  # str.split() semantics: any whitespace run, no empties
+    if stopword_set is not None:
+        sw = stopword_set
+        toks = toks.map(lambda ts: [t for t in ts if t not in sw])
+    if stemmer is not None:
+        toks = _stem_tokens_cached(toks, stemmer, {})
+        # stemming can in principle produce empty tokens; T10 drops them
+        toks = toks.map(lambda ts: [t for t in ts if t])
+    return toks
+
+
+def tokens_udf(cfg: TextPreprocessorConfig | None = None):
+    """A Spark pandas UDF ``string -> array<string>`` running the pipeline.
+
+    Arrow-batched (no per-row Python at the Spark boundary); this is the
+    engine's tokenization operator (reference `process_many`,
+    text_processor.py:221-259 — its process-pool parallelism is replaced by
+    Spark partition parallelism).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cfg = cfg or TextPreprocessorConfig()
+    cfg_copy = cfg  # captured by closure; dataclass is picklable
+
+    @pandas_udf("array<string>")
+    def _tokenize(batch_iter):
+        for s in batch_iter:
+            yield process_series(s, cfg_copy)
+
+    return _tokenize
