@@ -1,0 +1,132 @@
+"""High-level engine facade: the Spark counterpart of `BM25SparseIndex`.
+
+API parity with the reference (`baguetter/indices/sparse/base.py` +
+`bm25.py`): add_many / remove_many / search / search_many / search_weighted /
+to_token_ids-equivalent semantics, plus DataFrame-native entry points
+(`build`, `score_queries`) for pipeline use.  Driver-side list results mirror
+the reference's `SearchResults` (keys + float32 scores, descending).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from baguetter_spark.config import SparseIndexConfig
+from baguetter_spark.fixtures import transcripts_from_corpus
+from baguetter_spark.operators.indexer import BM25Index, build_index
+from baguetter_spark.operators.search import score_queries
+
+
+class BM25SparkIndex:
+    """Distributed BM25 index with the reference's add/search contract.
+
+    Unlike the reference's in-memory dicts, state lives in DataFrames; like
+    the reference, every add/remove triggers a full rebuild
+    (`baguetter/indices/sparse/base.py:244-256` — rebuild-on-add semantics),
+    which at scale maps to segment + merge jobs (see merge.py).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: SparseIndexConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config or SparseIndexConfig()
+        self.index: BM25Index | None = None
+        self._corpus: pd.DataFrame | None = None  # driver-side (list-API mode only)
+
+    # ------------------------------------------------------------------ build
+    def build(self, transcripts: DataFrame) -> BM25SparkIndex:
+        """DataFrame-native build (the production entry point)."""
+        self.index = build_index(self.spark, transcripts, self.config)
+        return self
+
+    def add_many(self, keys: list[str], values: list[str]) -> BM25SparkIndex:
+        """List API mirroring the reference; keys become conv_ids (one turn
+        each) so (conv_id, turn_idx) order == insertion order requires keys
+        to be handed in sorted order OR treated as the stable order.
+
+        NOTE: the stable order is (conv_id, turn_idx) = (key, 0); the
+        reference uses insertion order.  For parity tests, pass keys that are
+        already lexicographically ordered (doc1, doc2, ...), which makes the
+        two orders coincide.
+        """
+        if len(keys) != len(set(keys)):
+            msg = "Keys must be unique."
+            raise ValueError(msg)
+        new = transcripts_from_corpus(keys, values)
+        self._corpus = (
+            new
+            if self._corpus is None
+            else pd.concat(
+                [self._corpus[~self._corpus["conv_id"].isin(set(keys))], new],
+                ignore_index=True,
+            )
+        )
+        return self._rebuild()
+
+    def remove_many(self, keys: list[str]) -> BM25SparkIndex:
+        if self._corpus is None:
+            return self
+        self._corpus = self._corpus[~self._corpus["conv_id"].isin(set(keys))]
+        return self._rebuild()
+
+    def _rebuild(self) -> BM25SparkIndex:
+        sdf = self.spark.createDataFrame(self._corpus)
+        self.index = build_index(self.spark, sdf, self.config)
+        return self
+
+    # ----------------------------------------------------------------- search
+    def score_queries(
+        self,
+        queries: DataFrame,
+        *,
+        top_k: int = 100,
+        parity: bool = True,
+    ) -> DataFrame:
+        """Batch search: queries(query_id, text[, weight, part]) ->
+        results(query_id, rank, doc_id, score)."""
+        return score_queries(self.index, queries, top_k=top_k, parity=parity)
+
+    def _collect(self, results: DataFrame, query_ids: list[str], strip_turn: bool):
+        rows = results.collect()
+        by_q: dict[str, list] = {q: [] for q in query_ids}
+        for r in rows:
+            by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+        out = []
+        for q in query_ids:
+            entries = sorted(by_q[q])
+            keys = [d[:-2] if strip_turn and d.endswith(":0") else d for _, d, _ in entries]
+            scores = np.array([s for _, _, s in entries], dtype=np.float32)
+            out.append((keys, scores))
+        return out
+
+    def search(self, query: str, *, top_k: int = 100):
+        return self.search_many([query], top_k=top_k)[0]
+
+    def search_many(self, queries: list[str], *, top_k: int = 100):
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame({"query_id": [f"q{i}" for i in range(len(queries))], "text": queries})
+        )
+        res = self.score_queries(qdf, top_k=top_k)
+        return self._collect(res, [f"q{i}" for i in range(len(queries))], strip_turn=True)
+
+    def search_weighted(
+        self, queries: list[str], query_weights: list[float], *, top_k: int = 100
+    ):
+        """Reference base.py:491-536: one fused query, per-sub-query weights."""
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": ["q0"] * len(queries),
+                    "part": list(range(len(queries))),
+                    "text": queries,
+                    "weight": query_weights,
+                }
+            )
+        )
+        res = self.score_queries(qdf, top_k=top_k)
+        return self._collect(res, ["q0"], strip_turn=True)[0]

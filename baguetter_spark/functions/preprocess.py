@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 import string
 from collections.abc import Callable
-from typing import TYPE_CHECKING
+from typing import TYPE_CHECKING, Iterator
 
 import pandas as pd
 
@@ -191,7 +191,7 @@ def tokens_udf(cfg: TextPreprocessorConfig | None = None):
     cfg_copy = cfg  # captured by closure; dataclass is picklable
 
     @pandas_udf("array<string>")
-    def _tokenize(batch_iter):
+    def _tokenize(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batch_iter:
             yield process_series(s, cfg_copy)
 

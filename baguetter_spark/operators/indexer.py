@@ -1,0 +1,365 @@
+"""Index construction: transcripts -> (doc_map, vocab, postings, stats).
+
+Spark-first re-expression of the reference build dataflow
+(`baguetter/indices/sparse/models/bm25/index.py:50-147` and
+`.../scoring.py:207-329`):
+
+    tokenize (pandas UDF)                 ~ process_many   (B1/T11)
+    -> stable doc_idx (zip_with_index)    ~ key_mapping    (base.py:251)
+    -> explode tokens                     ~ corpus scan    (B1)
+    -> groupBy(doc,term).count            ~ per-doc TF     (B7)
+    -> groupBy(term).count                ~ doc freq       (B4)
+    -> sorted-term zip_with_index         ~ vocabulary     (B2)
+    -> idf/nonoccurrence pandas UDF       ~ idf array      (B6/B10)
+    -> join + float32 impact kernel       ~ impacts        (B8/B9)
+    -> groupBy(term, doc-range block)     ~ CSC assembly   (B11)
+       with delta+varint/f32 encoding + per-sub-block max metadata
+
+Scale notes (the whole point of the re-design):
+- no global window: doc ids and term ids use the two-pass range zipWithIndex;
+- the posting aggregation groups by ``(term_id, block_id)`` where
+  ``block_id = doc_idx // block_doc_range`` — every group is bounded by the
+  doc-range, so a stopword term with 10^11 postings becomes many bounded
+  rows instead of one unbounded ``collect_list`` (hot-term skew defense;
+  no salting needed because the salt IS the block id, and it is
+  order-preserving);
+- all shuffles are hash/range on (term_id[, block_id]) or (doc_idx) — AQE
+  handles residual skew;
+- float32 impact math runs inside Arrow-batched pandas UDFs (bit-parity with
+  the reference, see oracle/bm25_ref.py); everything else is JVM-side.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baguetter_spark.compress import (
+    encode_doc_ids,
+    encode_impacts,
+    encode_tfs,
+    sub_block_maxes,
+)
+from baguetter_spark.config import NON_OCCURRENCE_METHODS, SparseIndexConfig
+from baguetter_spark.functions.preprocess import tokens_udf
+from baguetter_spark.operators.zipindex import zip_with_index
+
+# ---------------------------------------------------------------------------
+# numpy kernels (shared by build + merge): exact reference float discipline
+# ---------------------------------------------------------------------------
+
+
+def idf_values(df: np.ndarray, n_docs: int, idf_method: str) -> np.ndarray:
+    """Vectorized IDF in float64 (reference computes with math.log then stores
+    float32; scoring.py:39-58,167-192). Returns float64 — caller casts."""
+    df = df.astype(np.float64)
+    n = float(n_docs)
+    if idf_method in ("lucene", "robertson"):
+        inner = (n - df + 0.5) / (df + 0.5)
+        if idf_method == "robertson":
+            inner = np.maximum(inner, 1.0)
+            return np.log(inner)
+        return np.log(1.0 + inner)
+    if idf_method == "atire":
+        return np.log(n / df)
+    if idf_method == "bm25l":
+        return np.log((n + 1.0) / (df + 0.5))
+    if idf_method == "bm25plus":
+        return np.log((n + 1.0) / df)
+    msg = f"unknown idf method {idf_method}"
+    raise ValueError(msg)
+
+
+def nonoccurrence_values(
+    idf64: np.ndarray, avg_doc_len: float, k1: float, b: float, delta: float, method: str
+) -> np.ndarray:
+    """Non-occurrence per term (scoring.py:61-95): float64 math with
+    tf=0, l_d=l_avg; stored float32 by the caller."""
+    if method == "bm25l":
+        # c = 0; tfc = (k1+1)*delta / (k1 + delta)
+        tfc = ((k1 + 1) * (0.0 + delta)) / (k1 + 0.0 + delta)
+    elif method == "bm25plus":
+        # (k1+1)*0/den + delta = delta
+        tfc = delta
+    else:
+        return np.zeros_like(idf64)
+    return idf64 * tfc
+
+
+def impact_values(
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    idf32: np.ndarray,
+    nonocc32: np.ndarray | None,
+    avg_doc_len: float,
+    k1: float,
+    b: float,
+    delta: float,
+    method: str,
+) -> np.ndarray:
+    """Vectorized float32 impact = idf * tfc [- nonoccurrence], replicating
+    the reference's per-doc numpy dtype semantics exactly (scoring.py:207-274):
+    tf is float32, per-doc scalars are float64 cast to float32 at the array op.
+    """
+    tf32 = tf.astype(np.float32)
+    ld64 = doc_len.astype(np.float64)
+    if method in ("robertson", "lucene"):
+        s = (k1 * ((1.0 - b) + b * ld64 / avg_doc_len)).astype(np.float32)
+        tfc = tf32 / (s + tf32)
+    elif method == "atire":
+        s = (k1 * (1.0 - b + b * ld64 / avg_doc_len)).astype(np.float32)
+        num = tf32 * np.float32(k1 + 1.0)
+        tfc = num / (tf32 + s)
+    elif method == "bm25l":
+        s = (1.0 - b + b * ld64 / avg_doc_len).astype(np.float32)
+        c = tf32 / s
+        num = np.float32(k1 + 1.0) * (c + np.float32(delta))
+        den = (np.float32(k1) + c) + np.float32(delta)
+        tfc = num / den
+    elif method == "bm25plus":
+        s = (k1 * (1.0 - b + b * ld64 / avg_doc_len)).astype(np.float32)
+        num = np.float32(k1 + 1.0) * tf32
+        tfc = (num / (s + tf32)) + np.float32(delta)
+    else:
+        msg = f"unknown method {method}"
+        raise ValueError(msg)
+    impact = idf32 * tfc
+    if nonocc32 is not None:
+        impact = impact - nonocc32
+    return impact
+
+
+# ---------------------------------------------------------------------------
+# the build pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BM25Index:
+    """Handle to the four index tables (DataFrames) + scalar stats."""
+
+    doc_map: DataFrame  # doc_idx, doc_id, doc_len
+    vocab: DataFrame  # term_id, term, df, idf, nonoccurrence
+    postings: DataFrame  # POSTINGS_SCHEMA blocks
+    n_docs: int
+    avg_doc_len: float
+    total_postings: int
+    config: SparseIndexConfig
+
+
+def docs_from_transcripts(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, text) -> (doc_id, text) with the stable document
+    identity doc_id = conv_id || ':' || turn_idx (FIXTURES.md §1)."""
+    return transcripts.select(
+        F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")).alias("doc_id"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("text"),
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: SparseIndexConfig | None = None,
+) -> BM25Index:
+    """Build the full BM25 index from a transcripts DataFrame.
+
+    Order contract: doc_idx = rank of (conv_id, turn_idx) — the reference's
+    insertion order when documents are ingested in that order (SURVEY §4.2.4).
+    """
+    config = config or SparseIndexConfig()
+    docs = docs_from_transcripts(transcripts)
+
+    # -- tokenize + stable doc index ----------------------------------------
+    tokenize = tokens_udf(config.preprocessor)
+    docs_tok = docs.withColumn("tokens", tokenize(F.col("text"))).withColumn(
+        "doc_len", F.size("tokens")
+    )
+    docs_tok = zip_with_index(
+        docs_tok.select("conv_id", "turn_idx", "doc_id", "tokens", "doc_len"),
+        ["conv_id", "turn_idx"],
+        "doc_idx",
+    )
+    # The tokenized corpus feeds several downstream jobs (doc stats, TF,
+    # vocabulary); cache so the tokenizer UDF runs once.  At cluster scale
+    # this stage is materialized to parquet instead (io.CheckpointedBuild).
+    docs_tok = docs_tok.cache()
+    doc_map = docs_tok.select("doc_idx", "doc_id", "doc_len")
+
+    # -- scalar corpus stats (float64 mean; index.py:87) --------------------
+    row = doc_map.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("total_len")
+    ).collect()[0]
+    n_docs = int(row["n"])
+    # reference: float(np.mean(lengths)) — float64 pairwise mean; sum/count in
+    # float64 is equivalent for exact-int lengths (both are exact until 2^53)
+    avg_doc_len = float(row["total_len"]) / n_docs if n_docs else 0.0
+
+    # -- explode -> per-doc term frequencies (B7) ---------------------------
+    doc_terms = docs_tok.select(
+        "doc_idx", "doc_len", F.explode("tokens").alias("term")
+    )
+    tf = doc_terms.groupBy("doc_idx", "doc_len", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+    # -- vocabulary: dense sorted-rank term ids (B2) + df (B4) --------------
+    term_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
+
+    # idf (float64 -> float32 store) + nonoccurrence, Arrow-vectorized
+    method, idf_method = config.method, config.idf_method
+    k1, b, delta = config.k1, config.b, config.delta
+    needs_nonocc = method in NON_OCCURRENCE_METHODS
+    avg_len_b = avg_doc_len
+
+    @F.pandas_udf("float")
+    def idf_udf(df_s: pd.Series) -> pd.Series:
+        vals = idf_values(df_s.to_numpy(), n_docs, idf_method)
+        return pd.Series(vals.astype(np.float32))
+
+    @F.pandas_udf("float")
+    def nonocc_udf(df_s: pd.Series) -> pd.Series:
+        idf64 = idf_values(df_s.to_numpy(), n_docs, idf_method)
+        vals = nonoccurrence_values(idf64, avg_len_b, k1, b, delta, method)
+        return pd.Series(vals.astype(np.float32))
+
+    vocab = vocab_base.withColumn("idf", idf_udf(F.col("df")))
+    vocab = vocab.withColumn(
+        "nonoccurrence",
+        nonocc_udf(F.col("df")) if needs_nonocc else F.lit(None).cast("float"),
+    )
+    vocab = vocab.select("term_id", "term", "df", "idf", "nonoccurrence").cache()
+
+    # -- impacts (B8/B9): join tf + vocab, float32 kernel -------------------
+    scored = tf.join(vocab.select("term", "term_id", "idf", "nonoccurrence"), "term")
+
+    @F.pandas_udf("float")
+    def impact_udf(
+        tf_s: pd.Series, dl_s: pd.Series, idf_s: pd.Series, nonocc_s: pd.Series
+    ) -> pd.Series:
+        nonocc = (
+            nonocc_s.to_numpy(dtype=np.float32, na_value=0.0) if needs_nonocc else None
+        )
+        vals = impact_values(
+            tf_s.to_numpy(),
+            dl_s.to_numpy(),
+            idf_s.to_numpy(dtype=np.float32),
+            nonocc,
+            avg_len_b,
+            k1,
+            b,
+            delta,
+            method,
+        )
+        return pd.Series(vals)
+
+    postings_flat = scored.select(
+        "term_id",
+        "doc_idx",
+        F.col("tf").cast("int").alias("tf"),
+        impact_udf(F.col("tf"), F.col("doc_len"), F.col("idf"), F.col("nonoccurrence")).alias(
+            "impact"
+        ),
+    )
+
+    # -- posting blocks (B11): bounded groups, docID-sorted arrays ----------
+    postings = assemble_posting_blocks(postings_flat, config)
+
+    total_postings = int(
+        vocab.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0
+    )
+
+    return BM25Index(
+        doc_map=doc_map,
+        vocab=vocab,
+        postings=postings,
+        n_docs=n_docs,
+        avg_doc_len=avg_doc_len,
+        total_postings=total_postings,
+        config=config,
+    )
+
+
+def assemble_posting_blocks(
+    postings_flat: DataFrame, config: SparseIndexConfig
+) -> DataFrame:
+    """(term_id, doc_idx, tf, impact) -> encoded posting-block rows.
+
+    block_id = doc_idx // block_doc_range bounds every aggregation group
+    (hot-term skew defense — the CSC column of a stopword term becomes many
+    bounded rows).  Arrays are docID-ascending within a block; ascending
+    blocks concatenate into the full docID-sorted posting list (reference
+    CSC invariant, index.py:133-147).
+    """
+    block_range = config.block_doc_range
+    sub = config.sub_block_size
+
+    grouped = (
+        postings_flat.withColumn(
+            "block_id", (F.col("doc_idx") / F.lit(block_range)).cast("long")
+        )
+        .groupBy("term_id", "block_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_idx", "impact", "tf"))
+            ).alias("plist")
+        )
+        .select(
+            "term_id",
+            "block_id",
+            F.transform("plist", lambda x: x["doc_idx"]).alias("doc_ids"),
+            F.transform("plist", lambda x: x["impact"]).alias("impacts"),
+            F.transform("plist", lambda x: x["tf"]).alias("tfs_arr"),
+        )
+    )
+
+    out_schema = (
+        "term_id long, block_id long, n_postings int, doc_ids_delta binary, "
+        "impacts_f32 binary, tfs binary, block_max float, sub_block_max array<float>"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for term_id, block_id, doc_ids, impacts, tfs in zip(
+                pdf["term_id"], pdf["block_id"], pdf["doc_ids"], pdf["impacts"], pdf["tfs_arr"]
+            ):
+                ids = np.asarray(doc_ids, dtype=np.int64)
+                imp = np.asarray(impacts, dtype=np.float32)
+                tf_arr = np.asarray(tfs, dtype=np.int64)
+                sbm = sub_block_maxes(imp, sub)
+                rows.append(
+                    (
+                        term_id,
+                        block_id,
+                        len(ids),
+                        encode_doc_ids(ids),
+                        encode_impacts(imp),
+                        encode_tfs(tf_arr),
+                        float(imp.max()) if len(imp) else float("-inf"),
+                        sbm.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "term_id",
+                    "block_id",
+                    "n_postings",
+                    "doc_ids_delta",
+                    "impacts_f32",
+                    "tfs",
+                    "block_max",
+                    "sub_block_max",
+                ],
+            )
+
+    return grouped.mapInPandas(encode, schema=out_schema)

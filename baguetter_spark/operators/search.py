@@ -1,0 +1,237 @@
+"""Batch top-k search: broadcast query scatter over posting blocks + gather.
+
+Re-expresses the reference query path (`baguetter/indices/sparse/base.py:
+417-536`, numba kernel `models/bm25/index.py:150-185`, top-k
+`utils/numpy_utils.py:46-73`) as ONE Spark job for a whole query batch
+(the reference's `search_many` thread pool becomes partition parallelism):
+
+    queries -> tokenize (same UDF as docs) -> posexplode (tok order kept)
+            -> vocab join (OOV silently dropped; duplicates kept)   [Q2]
+            -> broadcast-join onto posting blocks on term_id        [scatter]
+            -> decode blocks, per-batch partial aggregation         [Q3]
+            -> groupBy(query_id, doc_idx) final sum                 [gather]
+            -> per-query window top-k (score desc, doc_idx asc)     [Q4]
+            -> doc_map join -> doc_id                               [Q5]
+            [-> query-count normalization]                          [Q6]
+
+Two scoring modes:
+- ``parity=True`` (default): float32 accumulation in query-token order —
+  bit-identical scores to the reference kernel (scores[d] += impact * w is
+  order-sensitive in float32; SURVEY §4.2.2).  Contributions are gathered
+  per (query, doc) and folded in token order inside a pandas UDF.
+- ``parity=False``: JVM-side double-precision ``F.sum`` — the fast path for
+  100 TB serving, mathematically equal within 1e-7 relative.
+
+Tie handling: the reference's argpartition tie order is nondeterministic, so
+we define the canonical total order (score desc, doc_idx asc) — SURVEY §4.2.6.
+
+Divergence (documented): empty/fully-OOV queries return 0 rows here; the
+reference returns k arbitrary zero-score docs (SURVEY §4.2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from baguetter_spark.compress import decode_doc_ids, decode_impacts
+from baguetter_spark.config import SparseIndexConfig
+from baguetter_spark.functions.preprocess import tokens_udf
+from baguetter_spark.operators.indexer import BM25Index
+
+# Query-count score normalization (reference bm25.py:14-20, Q6)
+_NORM_SQL = {
+    "lucene": "log(1.0 + (n_tokens - 0.5) / 1.5)",
+    "robertson": "log(1.0 + (n_tokens - 0.5) / 1.5)",
+    "atire": "log(cast(n_tokens as double))",
+    "bm25l": "log((n_tokens + 1.0) / 1.5)",
+    "bm25plus": "log(n_tokens + 1.0)",
+}
+
+
+def tokenize_queries(index: BM25Index, queries: DataFrame) -> DataFrame:
+    """queries(query_id, text[, weight]) -> (query_id, tok_pos, term_id, weight,
+    n_tokens).  n_tokens counts IN-VOCAB tokens (reference normalizes by
+    len(token_ids) post-OOV-drop, base.py:438)."""
+    tokenize = tokens_udf(index.config.preprocessor)
+    has_weight = "weight" in queries.columns
+    has_part = "part" in queries.columns
+    q = queries.withColumn("toks", tokenize(F.col("text")))
+    q = q.select(
+        "query_id",
+        F.posexplode("toks").alias("tok_pos", "term"),
+        *([F.col("weight")] if has_weight else [F.lit(None).cast("double").alias("weight")]),
+        *([F.col("part")] if has_part else []),
+    )
+    if has_part:
+        # search_weighted concatenates sub-queries (base.py:516-520): global
+        # token order = (sub-query order, token order).  2^20 tokens/part cap.
+        q = q.withColumn(
+            "tok_pos", (F.col("part").cast("long") * (1 << 20) + F.col("tok_pos")).cast("int")
+        ).drop("part")
+    # OOV dropped by the inner join; duplicates kept (one row per position).
+    q = q.join(index.vocab.select("term", "term_id"), "term").drop("term")
+    # in-vocab token count per query (for normalization)
+    counts = q.groupBy("query_id").agg(F.count("*").alias("n_tokens"))
+    return q.join(counts, "query_id")
+
+
+def score_queries(
+    index: BM25Index,
+    queries: DataFrame,
+    *,
+    top_k: int = 100,
+    parity: bool = True,
+    normalize: bool | None = None,
+) -> DataFrame:
+    """Returns results(query_id, rank, doc_id, score) — canonical tie order."""
+    cfg = index.config
+    normalize = cfg.normalize_scores if normalize is None else normalize
+
+    qterms = tokenize_queries(index, queries)
+    # Weighted search concatenates sub-queries: global token positions must
+    # follow the caller's order; weight cast to float32 (base.py:524).
+    qterms = qterms.select(
+        "query_id",
+        "tok_pos",
+        "term_id",
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("float").alias("weight"),
+        "n_tokens",
+    )
+
+    # --- scatter: broadcast the (small) query-term table to posting blocks ---
+    joined = index.postings.join(
+        F.broadcast(qterms), "term_id"
+    ).select(
+        "query_id", "tok_pos", "weight", "n_postings", "doc_ids_delta", "impacts_f32"
+    )
+
+    if parity:
+        contrib_schema = "query_id string, doc_idx long, tok_pos int, contrib float"
+
+        def decode_contribs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qids, docs, poss, contribs = [], [], [], []
+                for qid, pos, w, n, ids_buf, imp_buf in zip(
+                    pdf["query_id"], pdf["tok_pos"], pdf["weight"], pdf["n_postings"],
+                    pdf["doc_ids_delta"], pdf["impacts_f32"],
+                ):
+                    ids = decode_doc_ids(ids_buf, n)
+                    imp = decode_impacts(imp_buf)
+                    if w != 1.0:
+                        # reference: data * token_weight in float32 (index.py:184)
+                        imp = imp * np.float32(w)
+                    qids.append(np.full(n, qid, dtype=object))
+                    docs.append(ids)
+                    poss.append(np.full(n, pos, dtype=np.int32))
+                    contribs.append(imp)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qids),
+                        "doc_idx": np.concatenate(docs),
+                        "tok_pos": np.concatenate(poss),
+                        "contrib": np.concatenate(contribs),
+                    }
+                )
+
+        contribs = joined.mapInPandas(decode_contribs, schema=contrib_schema)
+
+        # gather: fold contributions per (query, doc) in token order, float32
+        gathered = contribs.groupBy("query_id", "doc_idx").agg(
+            F.sort_array(F.collect_list(F.struct("tok_pos", "contrib"))).alias(
+                "contrib_list"
+            )
+        )
+
+        @F.pandas_udf("float")
+        def fold_f32(cl: pd.Series) -> pd.Series:
+            out = np.empty(len(cl), dtype=np.float32)
+            for i, lst in enumerate(cl):
+                acc = np.float32(0.0)
+                for item in lst:
+                    acc = np.float32(acc + np.float32(item["contrib"]))
+                out[i] = acc
+            return pd.Series(out)
+
+        scores = gathered.select(
+            "query_id", "doc_idx", fold_f32("contrib_list").alias("score")
+        )
+    else:
+        # fast path: per-batch local aggregation in numpy, then JVM double sum
+        partial_schema = "query_id string, doc_idx long, partial double"
+
+        def decode_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                acc: dict[str, dict] = {}
+                qids, docs, contribs = [], [], []
+                for qid, w, n, ids_buf, imp_buf in zip(
+                    pdf["query_id"], pdf["weight"], pdf["n_postings"],
+                    pdf["doc_ids_delta"], pdf["impacts_f32"],
+                ):
+                    ids = decode_doc_ids(ids_buf, n)
+                    imp = decode_impacts(imp_buf).astype(np.float64)
+                    if w != 1.0:
+                        imp = imp * float(w)
+                    qids.append(np.full(n, qid, dtype=object))
+                    docs.append(ids)
+                    contribs.append(imp)
+                pout = pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qids),
+                        "doc_idx": np.concatenate(docs),
+                        "partial": np.concatenate(contribs),
+                    }
+                )
+                # local combine: shrinks shuffle volume for duplicate terms
+                yield pout.groupby(["query_id", "doc_idx"], as_index=False, sort=False)[
+                    "partial"
+                ].sum()
+
+        partials = joined.mapInPandas(decode_partials, schema=partial_schema)
+        scores = partials.groupBy("query_id", "doc_idx").agg(
+            F.sum("partial").cast("float").alias("score")
+        )
+
+    # --- per-query top-k (canonical tie order) + doc_id remap --------------
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_idx").asc()
+    )
+    topk = (
+        scores.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .join(index.doc_map.select("doc_idx", "doc_id"), "doc_idx")
+    )
+
+    if normalize:
+        n_tok = qterms.select("query_id", "n_tokens").distinct()
+        method = cfg.method
+
+        @F.pandas_udf("float")
+        def norm_udf(score_s: pd.Series, n_s: pd.Series) -> pd.Series:
+            # reference bm25.py:30-53: scores(f32) / (n * fn(n)) — the float64
+            # denominator is cast to f32 at the array op (numpy semantics)
+            s32 = score_s.to_numpy(dtype=np.float32)
+            n = n_s.to_numpy(dtype=np.float64)
+            if method in ("lucene", "robertson"):
+                denom = n * np.log(1 + (n - 0.5) / 1.5)
+            elif method == "atire":
+                denom = n * np.log(n)
+            elif method == "bm25l":
+                denom = n * np.log((n + 1) / 1.5)
+            else:  # bm25plus
+                denom = n * np.log(n + 1)
+            return pd.Series(s32 / denom.astype(np.float32))
+
+        topk = topk.join(n_tok, "query_id").withColumn(
+            "score", norm_udf(F.col("score"), F.col("n_tokens"))
+        )
+
+    return topk.select("query_id", "rank", "doc_id", "score")

@@ -1,0 +1,79 @@
+"""Scalable stable zipWithIndex: dense 0-based ids in a total sort order.
+
+The reference assigns doc ids by insertion order (``key_mapping =
+dict(enumerate(keys))``, `baguetter/indices/sparse/base.py:251`) and term ids
+by rank in the sorted vocabulary (`.../models/bm25/scoring.py:303-307`).  Both
+need a *global* dense rank.  A single ``row_number() OVER (ORDER BY ...)``
+window funnels all rows through ONE task — fine at 10^5 rows, fatal at 10^12.
+
+This operator does the classic two-pass instead:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order columns
+   (one range shuffle; ranges are contiguous and ordered by partition id);
+2. count rows per partition (cheap scan), prefix-sum the counts on the
+   driver (#partitions entries, not #rows);
+3. ``mapInPandas`` assigns ``offset[pid] + local_position`` with no further
+   shuffle.
+
+Deterministic for a unique total order; every stage is parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zip_with_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 0-based ``index_col`` ranking rows by ``order_cols``.
+
+    The order defined by ``order_cols`` must be total (no duplicate keys) for
+    the result to be deterministic.
+    """
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    parts = int(parts)
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # Pass 1: per-partition counts -> driver-side prefix sums (#partitions rows)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(with_pid.schema.fields) + [StructField(index_col, LongType(), False)]
+    )
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{index_col: pd.Series([], dtype="int64")})
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = b_offsets.value[pid] + local
+            pdf = pdf.copy()
+            pdf[index_col] = range(start, start + len(pdf))
+            local += len(pdf)
+            yield pdf
+
+    return with_pid.mapInPandas(assign, schema=out_schema).drop("__pid")
