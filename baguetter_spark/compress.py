@@ -92,13 +92,14 @@ def decode_doc_ids(buf: bytes, count: int) -> np.ndarray:
     return np.cumsum(deltas)
 
 
-def encode_impacts(impacts: np.ndarray) -> bytes:
-    """Bit-exact float32 little-endian bytes."""
-    return np.asarray(impacts, dtype="<f4").tobytes()
+def encode_impacts(impacts: np.ndarray, dtype: str = "float32") -> bytes:
+    """Bit-exact little-endian float bytes (f4 or f8 per index dtype config —
+    the reference's `dtype` parameter, sparse/config.py:21)."""
+    return np.asarray(impacts, dtype="<f4" if dtype == "float32" else "<f8").tobytes()
 
 
-def decode_impacts(buf: bytes) -> np.ndarray:
-    return np.frombuffer(buf, dtype="<f4")
+def decode_impacts(buf: bytes, dtype: str = "float32") -> np.ndarray:
+    return np.frombuffer(buf, dtype="<f4" if dtype == "float32" else "<f8")
 
 
 def encode_tfs(tfs: np.ndarray) -> bytes:

@@ -92,6 +92,40 @@ def nonoccurrence_values(
     return idf64 * tfc
 
 
+def impact_values_f64(
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    idf64: np.ndarray,
+    nonocc64: np.ndarray | None,
+    avg_doc_len: float,
+    k1: float,
+    b: float,
+    delta: float,
+    method: str,
+) -> np.ndarray:
+    """Double-precision impacts (index dtype='float64' — same formulas, no
+    float32 rounding; used when downstream comparison/serving is double)."""
+    tf64 = tf.astype(np.float64)
+    ld64 = doc_len.astype(np.float64)
+    norm = 1.0 - b + b * ld64 / avg_doc_len
+    if method in ("robertson", "lucene"):
+        tfc = tf64 / (k1 * norm + tf64)
+    elif method == "atire":
+        tfc = (tf64 * (k1 + 1.0)) / (tf64 + k1 * norm)
+    elif method == "bm25l":
+        c = tf64 / norm
+        tfc = ((k1 + 1.0) * (c + delta)) / (k1 + c + delta)
+    elif method == "bm25plus":
+        tfc = ((k1 + 1.0) * tf64) / (k1 * norm + tf64) + delta
+    else:
+        msg = f"unknown method {method}"
+        raise ValueError(msg)
+    impact = idf64 * tfc
+    if nonocc64 is not None:
+        impact = impact - nonocc64
+    return impact
+
+
 def impact_values(
     tf: np.ndarray,
     doc_len: np.ndarray,
@@ -191,7 +225,7 @@ def build_index(
     # vocabulary); cache so the tokenizer UDF runs once.  At cluster scale
     # this stage is materialized to parquet instead (io.CheckpointedBuild).
     docs_tok = docs_tok.cache()
-    doc_map = docs_tok.select("doc_idx", "doc_id", "doc_len")
+    doc_map = docs_tok.select("doc_idx", "doc_id", "doc_len").persist()
 
     # -- scalar corpus stats (float64 mean; index.py:87) --------------------
     row = doc_map.agg(
@@ -214,51 +248,78 @@ def build_index(
     term_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
     vocab_base = zip_with_index(term_stats, ["term"], "term_id")
 
-    # idf (float64 -> float32 store) + nonoccurrence, Arrow-vectorized
+    # idf + nonoccurrence, Arrow-vectorized.  Stored as DOUBLE columns; in
+    # float32 mode values are first rounded to float32 (the reference stores
+    # idf into a float32 array, scoring.py:49-56) then widened losslessly.
     method, idf_method = config.method, config.idf_method
     k1, b, delta = config.k1, config.b, config.delta
     needs_nonocc = method in NON_OCCURRENCE_METHODS
     avg_len_b = avg_doc_len
+    is_f32 = config.dtype == "float32"
 
-    @F.pandas_udf("float")
+    @F.pandas_udf("double")
     def idf_udf(df_s: pd.Series) -> pd.Series:
         vals = idf_values(df_s.to_numpy(), n_docs, idf_method)
-        return pd.Series(vals.astype(np.float32))
+        if is_f32:
+            vals = vals.astype(np.float32).astype(np.float64)
+        return pd.Series(vals)
 
-    @F.pandas_udf("float")
+    @F.pandas_udf("double")
     def nonocc_udf(df_s: pd.Series) -> pd.Series:
         idf64 = idf_values(df_s.to_numpy(), n_docs, idf_method)
         vals = nonoccurrence_values(idf64, avg_len_b, k1, b, delta, method)
-        return pd.Series(vals.astype(np.float32))
+        if is_f32:
+            vals = vals.astype(np.float32).astype(np.float64)
+        return pd.Series(vals)
 
     vocab = vocab_base.withColumn("idf", idf_udf(F.col("df")))
     vocab = vocab.withColumn(
         "nonoccurrence",
-        nonocc_udf(F.col("df")) if needs_nonocc else F.lit(None).cast("float"),
+        nonocc_udf(F.col("df")) if needs_nonocc else F.lit(None).cast("double"),
     )
     vocab = vocab.select("term_id", "term", "df", "idf", "nonoccurrence").cache()
 
-    # -- impacts (B8/B9): join tf + vocab, float32 kernel -------------------
+    # -- impacts (B8/B9): join tf + vocab, float32/float64 kernel -----------
     scored = tf.join(vocab.select("term", "term_id", "idf", "nonoccurrence"), "term")
 
-    @F.pandas_udf("float")
+    @F.pandas_udf("float" if is_f32 else "double")
     def impact_udf(
         tf_s: pd.Series, dl_s: pd.Series, idf_s: pd.Series, nonocc_s: pd.Series
     ) -> pd.Series:
-        nonocc = (
-            nonocc_s.to_numpy(dtype=np.float32, na_value=0.0) if needs_nonocc else None
-        )
-        vals = impact_values(
-            tf_s.to_numpy(),
-            dl_s.to_numpy(),
-            idf_s.to_numpy(dtype=np.float32),
-            nonocc,
-            avg_len_b,
-            k1,
-            b,
-            delta,
-            method,
-        )
+        if is_f32:
+            nonocc = (
+                nonocc_s.to_numpy(dtype=np.float32, na_value=0.0)
+                if needs_nonocc
+                else None
+            )
+            vals = impact_values(
+                tf_s.to_numpy(),
+                dl_s.to_numpy(),
+                idf_s.to_numpy(dtype=np.float32),
+                nonocc,
+                avg_len_b,
+                k1,
+                b,
+                delta,
+                method,
+            )
+        else:
+            nonocc = (
+                nonocc_s.to_numpy(dtype=np.float64, na_value=0.0)
+                if needs_nonocc
+                else None
+            )
+            vals = impact_values_f64(
+                tf_s.to_numpy(),
+                dl_s.to_numpy(),
+                idf_s.to_numpy(dtype=np.float64),
+                nonocc,
+                avg_len_b,
+                k1,
+                b,
+                delta,
+                method,
+            )
         return pd.Series(vals)
 
     postings_flat = scored.select(
@@ -271,7 +332,9 @@ def build_index(
     )
 
     # -- posting blocks (B11): bounded groups, docID-sorted arrays ----------
-    postings = assemble_posting_blocks(postings_flat, config)
+    # Persisted: an index is built once and searched many times; at cluster
+    # scale this is a parquet write (io.save_index) instead of a cache.
+    postings = assemble_posting_blocks(postings_flat, config).persist()
 
     total_postings = int(
         vocab.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0
@@ -301,6 +364,8 @@ def assemble_posting_blocks(
     """
     block_range = config.block_doc_range
     sub = config.sub_block_size
+    dtype = config.dtype
+    np_dtype = np.float32 if dtype == "float32" else np.float64
 
     grouped = (
         postings_flat.withColumn(
@@ -333,7 +398,7 @@ def assemble_posting_blocks(
                 pdf["term_id"], pdf["block_id"], pdf["doc_ids"], pdf["impacts"], pdf["tfs_arr"]
             ):
                 ids = np.asarray(doc_ids, dtype=np.int64)
-                imp = np.asarray(impacts, dtype=np.float32)
+                imp = np.asarray(impacts, dtype=np_dtype)
                 tf_arr = np.asarray(tfs, dtype=np.int64)
                 sbm = sub_block_maxes(imp, sub)
                 rows.append(
@@ -342,7 +407,7 @@ def assemble_posting_blocks(
                         block_id,
                         len(ids),
                         encode_doc_ids(ids),
-                        encode_impacts(imp),
+                        encode_impacts(imp, dtype),
                         encode_tfs(tf_arr),
                         float(imp.max()) if len(imp) else float("-inf"),
                         sbm.tolist(),

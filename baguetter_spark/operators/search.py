@@ -110,7 +110,11 @@ def score_queries(
         "query_id", "tok_pos", "weight", "n_postings", "doc_ids_delta", "impacts_f32"
     )
 
+    dtype = cfg.dtype
     if parity:
+        if dtype != "float32":
+            msg = "parity mode requires dtype='float32' (the reference's default)"
+            raise ValueError(msg)
         contrib_schema = "query_id string, doc_idx long, tok_pos int, contrib float"
 
         def decode_contribs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,7 +127,7 @@ def score_queries(
                     pdf["doc_ids_delta"], pdf["impacts_f32"],
                 ):
                     ids = decode_doc_ids(ids_buf, n)
-                    imp = decode_impacts(imp_buf)
+                    imp = decode_impacts(imp_buf)  # f32 (guarded above)
                     if w != 1.0:
                         # reference: data * token_weight in float32 (index.py:184)
                         imp = imp * np.float32(w)
@@ -177,7 +181,7 @@ def score_queries(
                     pdf["doc_ids_delta"], pdf["impacts_f32"],
                 ):
                     ids = decode_doc_ids(ids_buf, n)
-                    imp = decode_impacts(imp_buf).astype(np.float64)
+                    imp = decode_impacts(imp_buf, dtype).astype(np.float64)
                     if w != 1.0:
                         imp = imp * float(w)
                     qids.append(np.full(n, qid, dtype=object))
@@ -196,9 +200,10 @@ def score_queries(
                 ].sum()
 
         partials = joined.mapInPandas(decode_partials, schema=partial_schema)
-        scores = partials.groupBy("query_id", "doc_idx").agg(
-            F.sum("partial").cast("float").alias("score")
-        )
+        score_col = F.sum("partial")
+        if dtype == "float32":
+            score_col = score_col.cast("float")
+        scores = partials.groupBy("query_id", "doc_idx").agg(score_col.alias("score"))
 
     # --- per-query top-k (canonical tie order) + doc_id remap --------------
     w_rank = Window.partitionBy("query_id").orderBy(
@@ -214,11 +219,12 @@ def score_queries(
         n_tok = qterms.select("query_id", "n_tokens").distinct()
         method = cfg.method
 
-        @F.pandas_udf("float")
+        is_f32 = dtype == "float32"
+
+        @F.pandas_udf("float" if is_f32 else "double")
         def norm_udf(score_s: pd.Series, n_s: pd.Series) -> pd.Series:
             # reference bm25.py:30-53: scores(f32) / (n * fn(n)) — the float64
             # denominator is cast to f32 at the array op (numpy semantics)
-            s32 = score_s.to_numpy(dtype=np.float32)
             n = n_s.to_numpy(dtype=np.float64)
             if method in ("lucene", "robertson"):
                 denom = n * np.log(1 + (n - 0.5) / 1.5)
@@ -228,7 +234,10 @@ def score_queries(
                 denom = n * np.log((n + 1) / 1.5)
             else:  # bm25plus
                 denom = n * np.log(n + 1)
-            return pd.Series(s32 / denom.astype(np.float32))
+            if is_f32:
+                s32 = score_s.to_numpy(dtype=np.float32)
+                return pd.Series(s32 / denom.astype(np.float32))
+            return pd.Series(score_s.to_numpy(dtype=np.float64) / denom)
 
         topk = topk.join(n_tok, "query_id").withColumn(
             "score", norm_udf(F.col("score"), F.col("n_tokens"))

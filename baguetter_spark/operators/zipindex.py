@@ -44,7 +44,16 @@ def zip_with_index(
     cols = [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
 
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # CRITICAL: persist before reading partition ids.  The counts job and the
+    # assignment job are separate Spark jobs; with AQE enabled the shuffle
+    # can be coalesced DIFFERENTLY per job, which would change partition ids
+    # between pass 1 and pass 2 and corrupt the offsets.  Persisting pins one
+    # materialized partitioning that both passes read.
+    from pyspark import StorageLevel
+
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Pass 1: per-partition counts -> driver-side prefix sums (#partitions rows)
     counts = {
         r["__pid"]: r["cnt"]

@@ -1,0 +1,125 @@
+"""Per-round benchmark: headline index-build + search timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., extras...}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) documents table +
+a deterministic synthetic transcripts corpus (FIXTURES.md §1; cached parquet
+under .bench_cache/).  $SPARK_GRAFT_CPUS controls local[N] (default 32).
+
+Scaling-efficiency evidence (north rule: >=0.8 from N to 4N executors) is
+produced by scripts/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+N_TURNS = int(os.environ.get("BENCH_TURNS", "120000"))
+N_QUERIES = 100
+TOP_K = 10
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_transcripts_path() -> str:
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    path = os.path.join(cache_dir, f"transcripts_{N_TURNS}_seed42.parquet")
+    if not os.path.exists(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        from baguetter_spark.fixtures import gen_transcripts
+
+        t0 = time.time()
+        pdf = gen_transcripts(N_TURNS, seed=42, vocab_size=20_000)
+        pdf.to_parquet(path, index=False)
+        log(f"generated {N_TURNS} synthetic turns in {time.time()-t0:.1f}s")
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("baguetter-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pandas as pd
+
+    from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
+    from baguetter_spark.fixtures import gen_queries
+    from baguetter_spark.gate import GATE_PREPROCESSOR, documents_as_transcripts
+    from baguetter_spark.operators.indexer import build_index
+    from baguetter_spark.operators.search import score_queries
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- q1: index build over the driver's documents table -----------------
+    t0 = time.time()
+    cfg_docs = SparseIndexConfig(preprocessor=GATE_PREPROCESSOR)
+    idx_docs = build_index(spark, documents_as_transcripts(spark, sf_dir), cfg_docs)
+    n_blocks = idx_docs.postings.count()
+    timings["index_build_documents"] = time.time() - t0
+    log(f"documents index: {idx_docs.n_docs} docs, {idx_docs.total_postings} postings, {n_blocks} blocks")
+
+    # --- q2: index build over synthetic transcripts (full pipeline) --------
+    tpath = get_transcripts_path()
+    transcripts = spark.read.parquet(tpath)
+    t0 = time.time()
+    cfg_tr = SparseIndexConfig(preprocessor=TextPreprocessorConfig())  # stem+stopwords
+    idx_tr = build_index(spark, transcripts, cfg_tr)
+    idx_tr.postings.count()
+    dt = time.time() - t0
+    timings["index_build_transcripts"] = dt
+    extras["turns_per_sec"] = round(N_TURNS / dt, 1)
+    extras["n_turns"] = N_TURNS
+    log(f"transcripts index: {idx_tr.n_docs} docs, {idx_tr.total_postings} postings, {extras['turns_per_sec']} turns/s")
+
+    # --- q3/q4: batch search fast + parity ----------------------------------
+    qpdf = gen_queries(N_QUERIES, seed=5, vocab_size=20_000)
+    qdf = spark.createDataFrame(qpdf)
+    t0 = time.time()
+    n = score_queries(idx_tr, qdf, top_k=TOP_K, parity=False).count()
+    timings["search_fast_100q"] = time.time() - t0
+    extras["queries_per_sec_fast"] = round(N_QUERIES / timings["search_fast_100q"], 2)
+    log(f"fast search: {n} result rows")
+
+    t0 = time.time()
+    score_queries(idx_tr, qdf, top_k=TOP_K, parity=True).count()
+    timings["search_parity_100q"] = time.time() - t0
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bm25_index_build_and_search_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
