@@ -198,64 +198,55 @@ def docs_from_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def build_index(
-    spark: SparkSession,
-    transcripts: DataFrame,
-    config: SparseIndexConfig | None = None,
-) -> BM25Index:
-    """Build the full BM25 index from a transcripts DataFrame.
-
-    Order contract: doc_idx = rank of (conv_id, turn_idx) — the reference's
-    insertion order when documents are ingested in that order (SURVEY §4.2.4).
-    """
-    config = config or SparseIndexConfig()
+def tokenized_docs(transcripts: DataFrame, config: SparseIndexConfig) -> DataFrame:
+    """transcripts -> (doc_idx, doc_id, tokens, doc_len); doc_idx = rank of
+    (conv_id, turn_idx) — the reference's insertion order (SURVEY §4.2.4)."""
     docs = docs_from_transcripts(transcripts)
-
-    # -- tokenize + stable doc index ----------------------------------------
     tokenize = tokens_udf(config.preprocessor)
     docs_tok = docs.withColumn("tokens", tokenize(F.col("text"))).withColumn(
         "doc_len", F.size("tokens")
     )
-    docs_tok = zip_with_index(
+    return zip_with_index(
         docs_tok.select("conv_id", "turn_idx", "doc_id", "tokens", "doc_len"),
         ["conv_id", "turn_idx"],
         "doc_idx",
-    )
-    # The tokenized corpus feeds several downstream jobs (doc stats, TF,
-    # vocabulary); cache so the tokenizer UDF runs once.  At cluster scale
-    # this stage is materialized to parquet instead (io.CheckpointedBuild).
-    docs_tok = docs_tok.cache()
-    doc_map = docs_tok.select("doc_idx", "doc_id", "doc_len").persist()
+    ).select("doc_idx", "doc_id", "tokens", "doc_len")
 
-    # -- scalar corpus stats (float64 mean; index.py:87) --------------------
+
+def corpus_stats(doc_map: DataFrame) -> tuple[int, float]:
+    """n_docs + float64 avg doc length (reference index.py:87 computes
+    float(np.mean(...)); sum/count in exact int64 then one float64 division
+    is bit-equal for integer lengths)."""
     row = doc_map.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("total_len")
     ).collect()[0]
     n_docs = int(row["n"])
-    # reference: float(np.mean(lengths)) — float64 pairwise mean; sum/count in
-    # float64 is equivalent for exact-int lengths (both are exact until 2^53)
     avg_doc_len = float(row["total_len"]) / n_docs if n_docs else 0.0
+    return n_docs, avg_doc_len
 
-    # -- explode -> per-doc term frequencies (B7) ---------------------------
-    doc_terms = docs_tok.select(
-        "doc_idx", "doc_len", F.explode("tokens").alias("term")
-    )
-    tf = doc_terms.groupBy("doc_idx", "doc_len", "term").agg(
-        F.count("*").alias("tf")
-    )
 
-    # -- vocabulary: dense sorted-rank term ids (B2) + df (B4) --------------
-    term_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
-    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
+def term_frequencies(docs_tok: DataFrame) -> DataFrame:
+    """explode -> per-(doc, term) counts (B7); hash aggregate with map-side
+    partial combine — the heavy shuffle is on (doc_idx, term)."""
+    doc_terms = docs_tok.select("doc_idx", "doc_len", F.explode("tokens").alias("term"))
+    return doc_terms.groupBy("doc_idx", "doc_len", "term").agg(F.count("*").alias("tf"))
 
-    # idf + nonoccurrence, Arrow-vectorized.  Stored as DOUBLE columns; in
-    # float32 mode values are first rounded to float32 (the reference stores
-    # idf into a float32 array, scoring.py:49-56) then widened losslessly.
+
+def build_vocab(
+    tf: DataFrame, n_docs: int, avg_doc_len: float, config: SparseIndexConfig
+) -> DataFrame:
+    """Sorted-rank term ids (B2) + df (B4) + idf/nonoccurrence (B6/B10).
+
+    idf/nonoccurrence are stored as DOUBLE columns; in float32 mode values
+    are rounded to float32 first (the reference stores idf into a float32
+    array, scoring.py:49-56) then widened losslessly."""
     method, idf_method = config.method, config.idf_method
     k1, b, delta = config.k1, config.b, config.delta
     needs_nonocc = method in NON_OCCURRENCE_METHODS
-    avg_len_b = avg_doc_len
     is_f32 = config.dtype == "float32"
+
+    term_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
 
     @F.pandas_udf("double")
     def idf_udf(df_s: pd.Series) -> pd.Series:
@@ -267,7 +258,7 @@ def build_index(
     @F.pandas_udf("double")
     def nonocc_udf(df_s: pd.Series) -> pd.Series:
         idf64 = idf_values(df_s.to_numpy(), n_docs, idf_method)
-        vals = nonoccurrence_values(idf64, avg_len_b, k1, b, delta, method)
+        vals = nonoccurrence_values(idf64, avg_doc_len, k1, b, delta, method)
         if is_f32:
             vals = vals.astype(np.float32).astype(np.float64)
         return pd.Series(vals)
@@ -277,9 +268,24 @@ def build_index(
         "nonoccurrence",
         nonocc_udf(F.col("df")) if needs_nonocc else F.lit(None).cast("double"),
     )
-    vocab = vocab.select("term_id", "term", "df", "idf", "nonoccurrence").cache()
+    return vocab.select("term_id", "term", "df", "idf", "nonoccurrence")
 
-    # -- impacts (B8/B9): join tf + vocab, float32/float64 kernel -----------
+
+def impacts_flat(
+    tf: DataFrame,
+    vocab: DataFrame,
+    n_docs: int,
+    avg_doc_len: float,
+    config: SparseIndexConfig,
+) -> DataFrame:
+    """(doc_idx, term, tf) ⋈ vocab -> (term_id, doc_idx, tf, impact) with the
+    float32 (or float64) impact kernel (B8/B9)."""
+    method = config.method
+    k1, b, delta = config.k1, config.b, config.delta
+    needs_nonocc = method in NON_OCCURRENCE_METHODS
+    is_f32 = config.dtype == "float32"
+    avg_len_b = avg_doc_len
+
     scored = tf.join(vocab.select("term", "term_id", "idf", "nonoccurrence"), "term")
 
     @F.pandas_udf("float" if is_f32 else "double")
@@ -293,15 +299,8 @@ def build_index(
                 else None
             )
             vals = impact_values(
-                tf_s.to_numpy(),
-                dl_s.to_numpy(),
-                idf_s.to_numpy(dtype=np.float32),
-                nonocc,
-                avg_len_b,
-                k1,
-                b,
-                delta,
-                method,
+                tf_s.to_numpy(), dl_s.to_numpy(), idf_s.to_numpy(dtype=np.float32),
+                nonocc, avg_len_b, k1, b, delta, method,
             )
         else:
             nonocc = (
@@ -310,35 +309,45 @@ def build_index(
                 else None
             )
             vals = impact_values_f64(
-                tf_s.to_numpy(),
-                dl_s.to_numpy(),
-                idf_s.to_numpy(dtype=np.float64),
-                nonocc,
-                avg_len_b,
-                k1,
-                b,
-                delta,
-                method,
+                tf_s.to_numpy(), dl_s.to_numpy(), idf_s.to_numpy(dtype=np.float64),
+                nonocc, avg_len_b, k1, b, delta, method,
             )
         return pd.Series(vals)
 
-    postings_flat = scored.select(
+    return scored.select(
         "term_id",
         "doc_idx",
         F.col("tf").cast("int").alias("tf"),
-        impact_udf(F.col("tf"), F.col("doc_len"), F.col("idf"), F.col("nonoccurrence")).alias(
-            "impact"
-        ),
+        impact_udf(
+            F.col("tf"), F.col("doc_len"), F.col("idf"), F.col("nonoccurrence")
+        ).alias("impact"),
     )
 
-    # -- posting blocks (B11): bounded groups, docID-sorted arrays ----------
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: SparseIndexConfig | None = None,
+) -> BM25Index:
+    """Build the full BM25 index from a transcripts DataFrame (in-session
+    caching; for the checkpoint-resumable variant see io.build_index_resumable)."""
+    config = config or SparseIndexConfig()
+
+    # The tokenized corpus feeds several downstream jobs (doc stats, TF,
+    # vocabulary); cache so the tokenizer UDF runs once.
+    docs_tok = tokenized_docs(transcripts, config).cache()
+    doc_map = docs_tok.select("doc_idx", "doc_id", "doc_len").persist()
+    n_docs, avg_doc_len = corpus_stats(doc_map)
+
+    tf = term_frequencies(docs_tok)
+    vocab = build_vocab(tf, n_docs, avg_doc_len, config).cache()
+    flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)
+
     # Persisted: an index is built once and searched many times; at cluster
     # scale this is a parquet write (io.save_index) instead of a cache.
-    postings = assemble_posting_blocks(postings_flat, config).persist()
+    postings = assemble_posting_blocks(flat, config).persist()
 
-    total_postings = int(
-        vocab.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0
-    )
+    total_postings = int(vocab.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0)
 
     return BM25Index(
         doc_map=doc_map,

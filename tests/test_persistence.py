@@ -1,0 +1,146 @@
+"""save/load roundtrip, checkpoint-resume (stage skip), and segment merge
+== rebuild differential tests."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
+from baguetter_spark.fixtures import gen_transcripts
+from baguetter_spark.io import (
+    build_index_resumable,
+    load_index,
+    read_manifest,
+    save_index,
+)
+from baguetter_spark.merge import merge_indexes
+from baguetter_spark.operators.indexer import build_index
+from baguetter_spark.operators.search import score_queries
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_transcripts(40, 6, seed=21, vocab_size=80)
+
+
+def _cfg():
+    return SparseIndexConfig(preprocessor=TextPreprocessorConfig.parity())
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": ["q0", "q1"], "text": ["term00001 term00004", "hot00 term00002"]}
+        )
+    )
+
+
+def _results_map(df):
+    return {
+        (r["query_id"], r["doc_id"]): (r["rank"], np.float32(r["score"]))
+        for r in df.collect()
+    }
+
+
+def test_save_load_roundtrip(spark, corpus, tmp_path):
+    idx = build_index(spark, spark.createDataFrame(corpus), _cfg())
+    path = str(tmp_path / "seg1")
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    assert loaded.n_docs == idx.n_docs
+    assert loaded.avg_doc_len == idx.avg_doc_len
+    assert loaded.total_postings == idx.total_postings
+    r1 = _results_map(score_queries(idx, _queries(spark), top_k=5))
+    r2 = _results_map(score_queries(loaded, _queries(spark), top_k=5))
+    assert r1 == r2
+
+
+def test_resumable_build_skips_completed_stages(spark, corpus, tmp_path):
+    workdir = str(tmp_path / "ckpt")
+    sdf = spark.createDataFrame(corpus)
+    cfg = _cfg()
+
+    idx1 = build_index_resumable(spark, sdf, cfg, workdir, input_id="c1")
+    m = read_manifest(workdir)
+    assert m["stages_executed"] == ["stage_docs_tok", "stage_vocab", "stage_postings"]
+    # per-partition lineage recorded
+    sm = read_manifest(f"{workdir}/stage_postings")
+    assert sm["status"] == "SUCCESS"
+    assert sum(p["rows"] for p in sm["partitions"]) == sm["rows"] > 0
+
+    # re-run: everything skipped
+    idx2 = build_index_resumable(spark, sdf, cfg, workdir, input_id="c1")
+    m2 = read_manifest(workdir)
+    assert m2["stages_executed"] == []
+    assert set(m2["stages_skipped"]) == {
+        "stage_docs_tok",
+        "stage_stats",
+        "stage_vocab",
+        "stage_postings",
+    }
+
+    # results identical to a direct build (checked BEFORE the simulated
+    # crash below invalidates idx1/idx2's underlying files)
+    direct = build_index(spark, sdf, cfg)
+    q = _queries(spark)
+    base = _results_map(score_queries(direct, q, top_k=5))
+    for idx in (idx1, idx2):
+        assert _results_map(score_queries(idx, q, top_k=5)) == base
+
+    # kill/restart mid-pipeline: postings lost -> only postings re-runs
+    shutil.rmtree(f"{workdir}/stage_postings")
+    idx3 = build_index_resumable(spark, sdf, cfg, workdir, input_id="c1")
+    m3 = read_manifest(workdir)
+    assert m3["stages_executed"] == ["stage_postings"]
+    assert "stage_docs_tok" in m3["stages_skipped"]
+    assert _results_map(score_queries(idx3, q, top_k=5)) == base
+
+    # loadable from the final manifest
+    loaded = load_index(spark, workdir)
+    assert _results_map(score_queries(loaded, q, top_k=5)) == base
+
+
+def test_config_change_invalidates_stages(spark, corpus, tmp_path):
+    workdir = str(tmp_path / "ckpt2")
+    sdf = spark.createDataFrame(corpus)
+    build_index_resumable(spark, sdf, _cfg(), workdir, input_id="c1")
+    cfg2 = SparseIndexConfig(
+        method="atire", idf_method="atire", preprocessor=TextPreprocessorConfig.parity()
+    )
+    build_index_resumable(spark, sdf, cfg2, workdir, input_id="c1")
+    m = read_manifest(workdir)
+    # all stages re-ran (different config hash)
+    assert m["stages_executed"] == ["stage_docs_tok", "stage_vocab", "stage_postings"]
+
+
+def test_merge_equals_rebuild(spark, tmp_path):
+    cfg = _cfg()
+    a = gen_transcripts(25, 4, seed=31, vocab_size=60)
+    b = gen_transcripts(25, 4, seed=32, vocab_size=60)
+    b["conv_id"] = "z" + b["conv_id"]  # disjoint doc ids, sorts after a
+
+    seg_a = build_index(spark, spark.createDataFrame(a), cfg)
+    seg_b = build_index(spark, spark.createDataFrame(b), cfg)
+    merged = merge_indexes(spark, [seg_a, seg_b], cfg)
+
+    both = pd.concat([a, b], ignore_index=True)
+    rebuilt = build_index(spark, spark.createDataFrame(both), cfg)
+
+    assert merged.n_docs == rebuilt.n_docs
+    assert merged.avg_doc_len == rebuilt.avg_doc_len
+    assert merged.total_postings == rebuilt.total_postings
+
+    # vocabulary identical (sorted-rank over the union)
+    vm = {r["term"]: (r["term_id"], r["df"]) for r in merged.vocab.collect()}
+    vr = {r["term"]: (r["term_id"], r["df"]) for r in rebuilt.vocab.collect()}
+    assert vm == vr
+
+    # search results bit-identical
+    q = _queries(spark)
+    assert _results_map(score_queries(merged, q, top_k=8)) == _results_map(
+        score_queries(rebuilt, q, top_k=8)
+    )
