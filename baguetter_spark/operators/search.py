@@ -87,10 +87,19 @@ def score_queries(
     top_k: int = 100,
     parity: bool = True,
     normalize: bool | None = None,
+    pruned: bool = False,
 ) -> DataFrame:
-    """Returns results(query_id, rank, doc_id, score) — canonical tie order."""
+    """Returns results(query_id, rank, doc_id, score) — canonical tie order.
+
+    ``pruned=True`` routes through the rank-safe block-max MaxScore kernel
+    (wand.py) instead of exhaustive scoring; implies ``parity=False`` score
+    arithmetic (float64) but identical doc sets/ranks (property-tested).
+    """
     cfg = index.config
+    dtype = cfg.dtype
     normalize = cfg.normalize_scores if normalize is None else normalize
+    if pruned:
+        parity = False
 
     qterms = tokenize_queries(index, queries)
     # Weighted search concatenates sub-queries: global token positions must
@@ -107,11 +116,37 @@ def score_queries(
     joined = index.postings.join(
         F.broadcast(qterms), "term_id"
     ).select(
-        "query_id", "tok_pos", "weight", "n_postings", "doc_ids_delta", "impacts_f32"
+        "query_id", "block_id", "tok_pos", "weight", "n_postings",
+        "doc_ids_delta", "impacts_f32",
     )
 
-    dtype = cfg.dtype
-    if parity:
+    if pruned:
+        # Doc ranges partition documents, so a doc's FULL score lives inside
+        # one (query_id, block_id) group: run the MaxScore kernel per group
+        # (bounded memory, parallel across ranges), emit exact-scored local
+        # top-k candidates, take the global top-k of the union.
+        from baguetter_spark.operators.wand import maxscore_topk
+
+        dt = dtype
+        k = top_k
+
+        def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = pdf["query_id"].iloc[0]
+            weights = pdf["weight"].to_numpy(dtype=np.float64)
+            doc_arrays = [
+                decode_doc_ids(buf, int(n))
+                for buf, n in zip(pdf["doc_ids_delta"], pdf["n_postings"])
+            ]
+            impact_arrays = [decode_impacts(buf, dt) for buf in pdf["impacts_f32"]]
+            ids, sc = maxscore_topk(weights, doc_arrays, impact_arrays, k)
+            return pd.DataFrame(
+                {"query_id": np.full(len(ids), qid, dtype=object), "doc_idx": ids, "score": sc}
+            )
+
+        scores = joined.groupBy("query_id", "block_id").applyInPandas(
+            local_topk, schema="query_id string, doc_idx long, score double"
+        )
+    elif parity:
         if dtype != "float32":
             msg = "parity mode requires dtype='float32' (the reference's default)"
             raise ValueError(msg)
