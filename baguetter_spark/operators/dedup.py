@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extensions (no baguetter counterpart).  All designed
+for the 100 TB shape:
+
+- exact: hash-groupBy on md5(text) — one shuffle, no text comparison;
+- n-gram Jaccard: shingle -> inverted shingle index -> candidate pairs from
+  shared shingles (bucket join, never a cross join) -> exact Jaccard;
+- MinHash+LSH: k permutation-free min-hashes h_i(x) = (a_i*x + b_i) mod P
+  over token ids, banded into buckets; only same-bucket pairs are verified;
+- SimHash: sign of tf-weighted sums of hash bits -> 32-bit fingerprint;
+  near-dups = small Hamming distance (candidate via exact fingerprint here).
+
+Hash parameters are small deterministic integer sequences so the DuckDB
+oracle can reproduce every value exactly (no murmur/xxhash dependence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from baguetter_spark.operators.textstats import tokenize_simple
+
+MH_P = 2147483647  # 2^31 - 1
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands x 4 rows
+# deterministic odd multipliers / offsets (i = 0..15)
+MH_A = [2 * i + 1 for i in range(1, N_HASHES + 1)]
+MH_B = [1000003 * (i + 1) % MH_P for i in range(N_HASHES)]
+
+SH_BITS = 32
+SH_A = 2654435761  # Knuth multiplicative constant
+SH_B = 40503
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_md5, group_size, is_canonical): canonical = min doc_id
+    of the identical-text group; group_size > 1 marks duplicates."""
+    from pyspark.sql import Window
+
+    h = docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+    w = Window.partitionBy("text_md5")
+    return h.select(
+        "doc_id",
+        "text_md5",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) DISTINCT token n-grams (space-joined), JVM-side."""
+    t = tokenize_simple(docs)
+    # guard: sequence(1, 0) would DESCEND in Spark; short docs get no shingles
+    sh = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard >= threshold.
+
+    Candidates come from the shingle inverted index (docs sharing >= 1
+    shingle) — the standard scalable pattern; with Zipf shingles a hot
+    shingle is a skew risk, so frequent shingles (df > 1000) are dropped
+    from CANDIDATE GENERATION only (they cannot distinguish near-dups).
+    Jaccard itself is computed over the full distinct-shingle sets.
+    """
+    sh = shingles(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    candidates_src = sh.join(
+        sh_df.where(F.col("sdf") <= 1000).select("shingle"), "shingle"
+    )
+    a = candidates_src.alias("a")
+    b = candidates_src.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _token_ids(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, term_id) pairs (set semantics for set-hash sketches)."""
+    t = tokenize_simple(docs)
+    exploded = t.select("doc_id", F.explode("toks").alias("term")).distinct()
+    return exploded.join(vocab.select("term", "term_id"), "term").select(
+        "doc_id", "term_id"
+    )
+
+
+def minhash_signatures(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, i, minhash): N_HASHES permutation-free min-hashes over the
+    distinct token-id set — min((a_i * x + b_i) % P)."""
+    ids = _token_ids(docs, vocab)
+    params = ids.sparkSession.createDataFrame(
+        [(i, MH_A[i], MH_B[i]) for i in range(N_HASHES)], "i int, a long, b long"
+    )
+    crossed = ids.crossJoin(F.broadcast(params))
+    return crossed.groupBy("doc_id", "i").agg(
+        F.min((F.col("a") * F.col("term_id") + F.col("b")) % F.lit(MH_P)).alias(
+            "minhash"
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, vocab: DataFrame, *, threshold: float = 0.5
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified with exact token-set Jaccard."""
+    sig = minhash_signatures(docs, vocab)
+    bands = sig.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
+    band_sig = bands.groupBy("doc_id", "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "i", "minhash")))).alias(
+            "band_key"
+        )
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification over distinct token-id sets
+    ids = _token_ids(docs, vocab)
+    sizes = ids.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ia = ids.withColumnRenamed("doc_id", "doc_a")
+    ib = ids.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cand.join(ia, "doc_a")
+        .join(ib.withColumnRenamed("term_id", "term_id_b"), "doc_b")
+        .where(F.col("term_id") == F.col("term_id_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """32-bit SimHash over tf-weighted token-id hash bits.
+
+    h(t) = (SH_A * (term_id + 1) + SH_B) % 2^32; bit j contributes +tf when
+    set, -tf when clear; fingerprint bit j = 1 iff the sum is > 0."""
+    t = tokenize_simple(docs)
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .join(vocab.select("term", "term_id"), "term")
+    )
+    h = (F.lit(SH_A) * (F.col("term_id") + 1) + F.lit(SH_B)) % F.lit(2**32)
+    tf = tf.withColumn("h", h)
+    bits = tf.sparkSession.createDataFrame([(j,) for j in range(SH_BITS)], "j int")
+    # bit j of h via floor-div (shiftright needs a literal shift in Spark);
+    # h < 2^32 so double math is exact (< 2^53)
+    bit_j = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2)
+    contrib = tf.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "j",
+        F.when(bit_j == 1, F.col("tf")).otherwise(-F.col("tf")).alias("c"),
+    )
+    sums = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(F.lit(0.0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
