@@ -1,0 +1,131 @@
+"""Semantic unit tests for the training-data operators (the DuckDB gate in
+gate.py cross-checks exact values; these check the semantics are sensible)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
+from baguetter_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from baguetter_spark.operators.indexer import build_index
+from baguetter_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from baguetter_spark.operators.textstats import language_id, quality_score
+from baguetter_spark.fixtures import transcripts_from_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup
+        (3, "der hund ist nicht mit der katze und das ist gut"),
+        (4, "zz qq ww"),  # short
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+@pytest.fixture(scope="module")
+def vocab(spark, docs):
+    cfg = SparseIndexConfig(
+        preprocessor=TextPreprocessorConfig(
+            stemmer=None, stopwords=None,
+            do_ampersand_normalization=False, do_special_chars_normalization=False,
+            do_acronyms_normalization=False, do_punctuation_removal=False,
+        )
+    )
+    tr = docs.selectExpr(
+        "lpad(cast(doc_id as string), 12, '0') as conv_id",
+        "0 as turn_idx",
+        "text",
+    )
+    return build_index(spark, tr, cfg).vocab
+
+
+def test_exact_dup(spark, docs):
+    out = {r["doc_id"]: r for r in exact_duplicates(docs).collect()}
+    assert out[0]["group_size"] == 2 and out[1]["group_size"] == 2
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    assert out[2]["group_size"] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh(spark, docs, vocab):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, vocab, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical sets always collide in every band
+    # (0, 2) is a near-dup but LSH recall is probabilistic (4 bands x 4 rows);
+    # if it surfaced, the verified jaccard must be in the near-dup range
+    if (0, 2) in pairs:
+        assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_simhash_near_dup_small_hamming(spark, docs, vocab):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, vocab).collect()}
+    assert out[0] == out[1]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "und"
+
+
+def test_quality(spark, docs):
+    out = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert out[4]["too_short"] and out[4]["quality"] == 0.0
+    assert not out[0]["too_short"] and out[0]["quality"] > 0
+
+
+def test_cosine_topk_excludes_self(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(emb, [0], k=2).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_ann_lsh_subset_of_brute(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = cosine_topk(emb, [0, 1], k=3).collect()
+    ann = ann_lsh_topk(emb, [0, 1], k=3, dim=16).collect()
+    # ANN candidates are same-bucket only; every ANN hit's cosine must equal
+    # the brute-force cosine for that pair
+    bmap = {(r["query_id"], r["vec_id"]): r["cos_r"] for r in brute}
+    full = {
+        (r["query_id"], r["vec_id"]): r["cos_r"]
+        for r in cosine_topk(emb, [0, 1], k=200).collect()
+    }
+    for r in ann:
+        assert full[(r["query_id"], r["vec_id"])] == r["cos_r"]
+    assert len(ann) >= 1
