@@ -339,7 +339,9 @@ def build_index(
     doc_map = docs_tok.select("doc_idx", "doc_id", "doc_len").persist()
     n_docs, avg_doc_len = corpus_stats(doc_map)
 
-    tf = term_frequencies(docs_tok)
+    # tf feeds two jobs (vocabulary stats + impact computation) — persist so
+    # the explode+aggregate shuffle runs once
+    tf = term_frequencies(docs_tok).persist()
     vocab = build_vocab(tf, n_docs, avg_doc_len, config).cache()
     flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)
 

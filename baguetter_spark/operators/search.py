@@ -113,7 +113,16 @@ def score_queries(
     )
 
     # --- scatter: broadcast the (small) query-term table to posting blocks ---
-    joined = index.postings.join(
+    # Pushdown: materialize the (small) set of queried term ids and FILTER the
+    # posting scan with it.  On a saved index (parquet range-partitioned +
+    # sorted by term_id, io.save_index) this turns into row-group min/max
+    # pruning — at 100 TB only the queried terms' blocks are read instead of
+    # the whole posting table (the broadcast join alone would scan all of it).
+    qterm_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    postings = index.postings
+    if len(qterm_ids) <= 10_000:  # keep the isin literal list sane for huge batches
+        postings = postings.where(F.col("term_id").isin(qterm_ids))
+    joined = postings.join(
         F.broadcast(qterms), "term_id"
     ).select(
         "query_id", "block_id", "tok_pos", "weight", "n_postings",
