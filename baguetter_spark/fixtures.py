@@ -72,19 +72,30 @@ def gen_transcripts(
     # lognormal turn lengths, clipped to [3, 200]
     lengths = np.clip(rng.lognormal(2.7, 0.8, size=n_turns).astype(int), 3, 200)
 
-    texts: list[str] = []
-    for i in range(n_turns):
-        L = lengths[i]
-        words = list(rng.choice(base_vocab, size=L, p=zipf_p))
-        # hot terms in >30% of turns
-        for h, hot in enumerate(HOT_TERMS):
-            if rng.random() < 0.35 - 0.01 * h:
-                words.insert(int(rng.integers(0, len(words) + 1)), hot)
-        # sprinkle preprocessing-exercising decorations
-        if rng.random() < 0.3:
-            j = int(rng.integers(0, len(words)))
-            words[j] = words[j] + _DECOR[int(rng.integers(0, len(_DECOR)))]
-        texts.append(" ".join(words))
+    # vectorized text construction: one big token draw, split by offsets
+    total = int(lengths.sum())
+    all_words = rng.choice(base_vocab, size=total, p=zipf_p).astype(object)
+    # hot terms in >30% of turns: overwrite a random position per hit
+    offsets = np.zeros(n_turns + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    for h, hot in enumerate(HOT_TERMS):
+        hit = rng.random(n_turns) < (0.35 - 0.01 * h)
+        rows = np.flatnonzero(hit)
+        pos = offsets[rows] + (rng.random(len(rows)) * lengths[rows]).astype(np.int64)
+        all_words[pos] = hot
+    # preprocessing-exercising decorations on ~30% of turns
+    dec_rows = np.flatnonzero(rng.random(n_turns) < 0.3)
+    dec_pos = offsets[dec_rows] + (
+        rng.random(len(dec_rows)) * lengths[dec_rows]
+    ).astype(np.int64)
+    dec_pick = rng.integers(0, len(_DECOR), size=len(dec_rows))
+    for p, d in zip(dec_pos, dec_pick):
+        all_words[p] = all_words[p] + _DECOR[d]
+
+    words_list = all_words.tolist()
+    texts = [
+        " ".join(words_list[offsets[i] : offsets[i + 1]]) for i in range(n_turns)
+    ]
 
     base_ts = np.datetime64("2025-01-01T00:00:00")
     ts = base_ts + (conv_of_turn.astype("int64") * 3600 + turn_idx.astype("int64") * 7).astype(

@@ -126,8 +126,12 @@ def make_processor(cfg: TextPreprocessorConfig | None = None) -> Callable[[str],
     return process
 
 
-# Memoized per-task stem cache: natural-language token distributions are
-# Zipfian, so a small dict cache removes almost all stemmer invocations.
+# Worker-global stem cache: token distributions are Zipfian, so memoizing
+# stems removes almost all stemmer invocations; the dict lives for the
+# lifetime of the (reused) Python worker process, shared across Arrow batches.
+_STEM_CACHE: dict[str, str] = {}
+
+
 def _stem_tokens_cached(
     tokens_lists: pd.Series,
     stemmer: Callable[[str], str],
@@ -171,7 +175,7 @@ def process_series(s: pd.Series, cfg: TextPreprocessorConfig | None = None) -> p
         sw = stopword_set
         toks = toks.map(lambda ts: [t for t in ts if t not in sw])
     if stemmer is not None:
-        toks = _stem_tokens_cached(toks, stemmer, {})
+        toks = _stem_tokens_cached(toks, stemmer, _STEM_CACHE)
         # stemming can in principle produce empty tokens; T10 drops them
         toks = toks.map(lambda ts: [t for t in ts if t])
     return toks

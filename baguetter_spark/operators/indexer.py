@@ -202,15 +202,21 @@ def tokenized_docs(transcripts: DataFrame, config: SparseIndexConfig) -> DataFra
     """transcripts -> (doc_idx, doc_id, tokens, doc_len); doc_idx = rank of
     (conv_id, turn_idx) — the reference's insertion order (SURVEY §4.2.4)."""
     docs = docs_from_transcripts(transcripts)
-    tokenize = tokens_udf(config.preprocessor)
-    docs_tok = docs.withColumn("tokens", tokenize(F.col("text"))).withColumn(
-        "doc_len", F.size("tokens")
-    )
-    return zip_with_index(
-        docs_tok.select("conv_id", "turn_idx", "doc_id", "tokens", "doc_len"),
+    # assign doc_idx BEFORE tokenizing: the range shuffle then moves raw text
+    # (smaller than token arrays) and the tokenizer UDF runs exactly once, on
+    # the already-indexed rows (zip_with_index persists its shuffle input,
+    # so its two passes don't re-read the source)
+    indexed = zip_with_index(
+        docs.select("conv_id", "turn_idx", "doc_id", "text"),
         ["conv_id", "turn_idx"],
         "doc_idx",
-    ).select("doc_idx", "doc_id", "tokens", "doc_len")
+    )
+    tokenize = tokens_udf(config.preprocessor)
+    return (
+        indexed.withColumn("tokens", tokenize(F.col("text")))
+        .withColumn("doc_len", F.size("tokens"))
+        .select("doc_idx", "doc_id", "tokens", "doc_len")
+    )
 
 
 def corpus_stats(doc_map: DataFrame) -> tuple[int, float]:
@@ -245,7 +251,10 @@ def build_vocab(
     needs_nonocc = method in NON_OCCURRENCE_METHODS
     is_f32 = config.dtype == "float32"
 
-    term_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # persist the (small) term aggregate: zip_with_index evaluates its input
+    # for range sampling + counts + assignment — without this, the full
+    # explode/groupBy over billions of postings would run three times
+    term_stats = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
     vocab_base = zip_with_index(term_stats, ["term"], "term_id")
 
     @F.pandas_udf("double")

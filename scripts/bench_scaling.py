@@ -1,23 +1,31 @@
 """Scaling-efficiency evidence for the north rule (no real cluster in the
-sandbox): run the SAME index-build job on the SAME input at local[N] and
-local[4N] and report throughput at both plus efficiency
-eff = tput_4N / (4 * tput_N).  Results go to BENCH/BASELINE.md.
+sandbox): run the SAME index-build job on the SAME input at N and 4N cores
+and report throughput at both plus efficiency eff = tput_4N / (4 * tput_N).
+
+Each measurement runs in a subprocess pinned with ``taskset`` to exactly the
+measured core count — otherwise a local[8] run's Python UDF workers would
+silently borrow the machine's idle cores and understate the true 4x speedup.
+Results go to BENCH/BASELINE.md.
 
 Usage: python scripts/bench_scaling.py [n_turns] [N]
+Self-mode (internal): python scripts/bench_scaling.py --one <cores> <tpath> <n_turns>
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 
-def run_build(cores: int, tpath: str, n_turns: int) -> float:
+def run_build_once(cores: int, tpath: str, n_turns: int) -> None:
+    """Child mode: one pinned measurement, prints seconds on stdout."""
     from pyspark.sql import SparkSession
 
     from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
@@ -28,7 +36,7 @@ def run_build(cores: int, tpath: str, n_turns: int) -> float:
         .appName(f"scaling-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "20g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -43,16 +51,36 @@ def run_build(cores: int, tpath: str, n_turns: int) -> float:
     idx.postings.count()
     dt = time.time() - t0
     spark.stop()
+    print(json.dumps({"seconds": dt}))
+
+
+def measure(cores: int, tpath: str, n_turns: int) -> float:
+    cpu_list = f"0-{cores - 1}"
+    out = subprocess.run(
+        [
+            "taskset", "-c", cpu_list,
+            sys.executable, os.path.abspath(__file__),
+            "--one", str(cores), tpath, str(n_turns),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    dt = json.loads(last)["seconds"]
     return n_turns / dt
 
 
 def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        run_build_once(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_cache"
-    )
+    cache_dir = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
     tpath = os.path.join(cache_dir, f"transcripts_{n_turns}_seed42.parquet")
     if not os.path.exists(tpath):
@@ -60,8 +88,8 @@ def main() -> None:
 
         gen_transcripts(n_turns, seed=42, vocab_size=20_000).to_parquet(tpath, index=False)
 
-    tput_n = run_build(n_cores, tpath, n_turns)
-    tput_4n = run_build(n_cores * 4, tpath, n_turns)
+    tput_n = measure(n_cores, tpath, n_turns)
+    tput_4n = measure(n_cores * 4, tpath, n_turns)
     eff = tput_4n / (4 * tput_n)
     out = {
         "n_turns": n_turns,
@@ -70,6 +98,7 @@ def main() -> None:
         "turns_per_sec_N": round(tput_n, 1),
         "turns_per_sec_4N": round(tput_4n, 1),
         "scaling_efficiency": round(eff, 3),
+        "pinned": "taskset",
     }
     print(json.dumps(out))
 
