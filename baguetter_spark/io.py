@@ -187,28 +187,48 @@ def build_index_resumable(
     north rule's "resumable from checkpoint with per-partition lineage +
     metrics").  Stage graph:
 
-        stage_docs_tok  (tokenize + stable doc_idx)
+        stage_tf        (tokenize -> flat explode -> per-(doc,term) counts)
+        stage_doc_map   (doc_idx, doc_id, doc_len)
         stage_stats     (n_docs, avg_doc_len — manifest only)
         stage_vocab     (sorted-rank ids, df, idf)
         stage_postings  (encoded blocks)
     """
+    from pyspark.sql import functions as F2
+
     from baguetter_spark.operators.indexer import (
         assemble_posting_blocks,
         build_vocab,
         corpus_stats,
+        exploded_terms,
         impacts_flat,
-        term_frequencies,
-        tokenized_docs,
+        indexed_docs,
     )
 
     io = TableIO(spark, workdir)
     runner = StageRunner(io)
     base_fp = f"{input_id}:{config.config_hash()}"
 
-    docs_tok = runner.run(
-        "stage_docs_tok",
-        f"{base_fp}:docs_tok",
-        lambda: tokenized_docs(transcripts, config),
+    docs = indexed_docs(transcripts)
+
+    tf = runner.run(
+        "stage_tf",
+        f"{base_fp}:tf",
+        lambda: exploded_terms(docs, config)
+        .groupBy("doc_idx", "doc_len", "term")
+        .agg(F2.count("*").alias("tf")),
+        range_by=["doc_idx"],
+    )
+
+    doc_map = runner.run(
+        "stage_doc_map",
+        f"{base_fp}:doc_map",
+        lambda: docs.select("doc_idx", "doc_id")
+        .join(
+            tf.groupBy("doc_idx").agg(F2.sum("tf").cast("int").alias("doc_len")),
+            "doc_idx",
+            "left",
+        )
+        .fillna(0, subset=["doc_len"]),
         range_by=["doc_idx"],
     )
 
@@ -219,7 +239,7 @@ def build_index_resumable(
         and stats_manifest.get("status") == "SUCCESS"
         and stats_manifest.get("fingerprint") == f"{base_fp}:stats"
     ):
-        n_docs, avg_doc_len = corpus_stats(docs_tok)
+        n_docs, avg_doc_len = corpus_stats(doc_map)
         write_manifest(
             stats_path,
             {
@@ -239,21 +259,21 @@ def build_index_resumable(
     vocab = runner.run(
         "stage_vocab",
         f"{base_fp}:vocab",
-        lambda: build_vocab(term_frequencies(docs_tok), n_docs, avg_doc_len, config),
+        lambda: build_vocab(tf, n_docs, avg_doc_len, config),
         range_by=["term_id"],
     )
     postings = runner.run(
         "stage_postings",
         f"{base_fp}:postings",
         lambda: assemble_posting_blocks(
-            impacts_flat(term_frequencies(docs_tok), vocab, n_docs, avg_doc_len, config),
+            impacts_flat(tf, vocab, n_docs, avg_doc_len, config),
             config,
         ),
         range_by=["term_id", "block_id"],
     )
 
     index = BM25Index(
-        doc_map=docs_tok.select("doc_idx", "doc_id", "doc_len"),
+        doc_map=doc_map,
         vocab=vocab,
         postings=postings,
         n_docs=n_docs,
@@ -276,7 +296,7 @@ def build_index_resumable(
             "stages_executed": runner.executed,
             "stages_skipped": runner.skipped,
             "tables": {
-                "doc_map": "stage_docs_tok",
+                "doc_map": "stage_doc_map",
                 "vocab": "stage_vocab",
                 "postings": "stage_postings",
             },

@@ -198,22 +198,60 @@ def docs_from_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def tokenized_docs(transcripts: DataFrame, config: SparseIndexConfig) -> DataFrame:
-    """transcripts -> (doc_idx, doc_id, tokens, doc_len); doc_idx = rank of
-    (conv_id, turn_idx) — the reference's insertion order (SURVEY §4.2.4)."""
+def indexed_docs(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> (doc_idx, doc_id, text); doc_idx = rank of
+    (conv_id, turn_idx) — the reference's insertion order (SURVEY §4.2.4).
+    The range shuffle moves raw text once (zip_with_index persists its
+    shuffled input, so its two passes don't re-read the source)."""
     docs = docs_from_transcripts(transcripts)
-    # assign doc_idx BEFORE tokenizing: the range shuffle then moves raw text
-    # (smaller than token arrays) and the tokenizer UDF runs exactly once, on
-    # the already-indexed rows (zip_with_index persists its shuffle input,
-    # so its two passes don't re-read the source)
-    indexed = zip_with_index(
+    return zip_with_index(
         docs.select("conv_id", "turn_idx", "doc_id", "text"),
         ["conv_id", "turn_idx"],
         "doc_idx",
+    ).select("doc_idx", "doc_id", "text")
+
+
+def exploded_terms(docs: DataFrame, config: SparseIndexConfig) -> DataFrame:
+    """(doc_idx, text) -> flat (doc_idx, doc_len, term) rows, tokenizing and
+    exploding INSIDE one Arrow pass.
+
+    Emitting flat columns instead of array<string> avoids the expensive
+    nested-Arrow transfer, the JVM explode stage, and the GC pressure of
+    caching token arrays — the corpus crosses the Python boundary exactly
+    once, as three primitive columns.  doc_len rides along (+4 bytes/row)
+    so the impact kernel never needs a doc-length join at any scale."""
+    from baguetter_spark.functions.preprocess import process_series
+
+    pre = config.preprocessor
+
+    def tok_explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = process_series(pdf["text"], pre)
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            doc_idx = np.repeat(pdf["doc_idx"].to_numpy(dtype=np.int64), lens)
+            doc_len = np.repeat(lens, lens)
+            flat: list[str] = []
+            for lst in toks:
+                flat.extend(lst)
+            yield pd.DataFrame(
+                {"doc_idx": doc_idx, "doc_len": doc_len.astype(np.int32), "term": flat}
+            )
+
+    return docs.select("doc_idx", "text").mapInPandas(
+        tok_explode, schema="doc_idx long, doc_len int, term string"
     )
+
+
+def tokenized_docs(transcripts: DataFrame, config: SparseIndexConfig) -> DataFrame:
+    """transcripts -> (doc_idx, doc_id, tokens, doc_len): array-valued form
+    (kept for tests/consumers that need per-doc token lists; the build
+    pipeline itself uses the flat exploded_terms path)."""
+    docs = indexed_docs(transcripts)
     tokenize = tokens_udf(config.preprocessor)
     return (
-        indexed.withColumn("tokens", tokenize(F.col("text")))
+        docs.withColumn("tokens", tokenize(F.col("text")))
         .withColumn("doc_len", F.size("tokens"))
         .select("doc_idx", "doc_id", "tokens", "doc_len")
     )
@@ -342,15 +380,27 @@ def build_index(
     caching; for the checkpoint-resumable variant see io.build_index_resumable)."""
     config = config or SparseIndexConfig()
 
-    # The tokenized corpus feeds several downstream jobs (doc stats, TF,
-    # vocabulary); cache so the tokenizer UDF runs once.
-    docs_tok = tokenized_docs(transcripts, config).cache()
-    doc_map = docs_tok.select("doc_idx", "doc_id", "doc_len").persist()
+    docs = indexed_docs(transcripts)
+    # tf is the one heavy intermediate; everything downstream (doc lengths,
+    # corpus stats, vocabulary, impacts) derives from it, so the corpus
+    # crosses the tokenizer exactly once
+    tf = (
+        exploded_terms(docs, config)
+        .groupBy("doc_idx", "doc_len", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+
+    # doc_map: doc_len = sum(tf) per doc (== token count); empty docs get 0
+    doc_lens = tf.groupBy("doc_idx").agg(F.sum("tf").cast("int").alias("doc_len"))
+    doc_map = (
+        docs.select("doc_idx", "doc_id")
+        .join(doc_lens, "doc_idx", "left")
+        .fillna(0, subset=["doc_len"])
+        .persist()
+    )
     n_docs, avg_doc_len = corpus_stats(doc_map)
 
-    # tf feeds two jobs (vocabulary stats + impact computation) — persist so
-    # the explode+aggregate shuffle runs once
-    tf = term_frequencies(docs_tok).persist()
     vocab = build_vocab(tf, n_docs, avg_doc_len, config).cache()
     flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)
 

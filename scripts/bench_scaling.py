@@ -42,8 +42,17 @@ def run_build_once(cores: int, tpath: str, n_turns: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(tpath)
-    # warm-up: JVM + python worker pool (excluded from the measurement)
-    transcripts.limit(1000).count()
+    # warm-up (excluded from the measurement): JVM codegen AND the Python
+    # worker pool — run a tiny pandas UDF through every core so worker
+    # processes exist and pandas/numpy are imported before the clock starts
+    # (a long-lived cluster is warm; cold-start is not what the rule measures)
+    warm = transcripts.limit(64 * cores).repartition(cores)
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf[["conv_id"]]
+
+    warm.mapInPandas(_noop, schema="conv_id string").count()
     t0 = time.time()
     idx = build_index(
         spark, transcripts, SparseIndexConfig(preprocessor=TextPreprocessorConfig())

@@ -66,7 +66,7 @@ def test_resumable_build_skips_completed_stages(spark, corpus, tmp_path):
 
     idx1 = build_index_resumable(spark, sdf, cfg, workdir, input_id="c1")
     m = read_manifest(workdir)
-    assert m["stages_executed"] == ["stage_docs_tok", "stage_vocab", "stage_postings"]
+    assert m["stages_executed"] == ["stage_tf", "stage_doc_map", "stage_vocab", "stage_postings"]
     # per-partition lineage recorded
     sm = read_manifest(f"{workdir}/stage_postings")
     assert sm["status"] == "SUCCESS"
@@ -77,7 +77,8 @@ def test_resumable_build_skips_completed_stages(spark, corpus, tmp_path):
     m2 = read_manifest(workdir)
     assert m2["stages_executed"] == []
     assert set(m2["stages_skipped"]) == {
-        "stage_docs_tok",
+        "stage_tf",
+        "stage_doc_map",
         "stage_stats",
         "stage_vocab",
         "stage_postings",
@@ -96,7 +97,7 @@ def test_resumable_build_skips_completed_stages(spark, corpus, tmp_path):
     idx3 = build_index_resumable(spark, sdf, cfg, workdir, input_id="c1")
     m3 = read_manifest(workdir)
     assert m3["stages_executed"] == ["stage_postings"]
-    assert "stage_docs_tok" in m3["stages_skipped"]
+    assert "stage_tf" in m3["stages_skipped"]
     assert _results_map(score_queries(idx3, q, top_k=5)) == base
 
     # loadable from the final manifest
@@ -114,7 +115,7 @@ def test_config_change_invalidates_stages(spark, corpus, tmp_path):
     build_index_resumable(spark, sdf, cfg2, workdir, input_id="c1")
     m = read_manifest(workdir)
     # all stages re-ran (different config hash)
-    assert m["stages_executed"] == ["stage_docs_tok", "stage_vocab", "stage_postings"]
+    assert m["stages_executed"] == ["stage_tf", "stage_doc_map", "stage_vocab", "stage_postings"]
 
 
 def test_merge_equals_rebuild(spark, tmp_path):
