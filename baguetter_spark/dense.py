@@ -1,0 +1,141 @@
+"""Dense vector index facade: the Spark-native slot for the reference's
+dense indexes (`baguetter/indices/dense/usearch.py:47-417`,
+`.../dense/faiss.py:26-150`, catalogued in SURVEY §2.8).
+
+The reference wraps native ANN libraries (usearch HNSW / faiss).  Neither
+ships in this sandbox, and on a cluster the Spark-native equivalent is a
+scan-and-score plan anyway: exact top-k = broadcast query matrix x embedding
+DataFrame (JVM `zip_with`/`aggregate` dot products), approximate top-k =
+LSH sign-bucket join (operators/similarity.py).  This facade gives that
+plan the reference's index API (add_many / remove_many / search /
+search_many) and the engine-standard `score_queries(queries_df)` so it
+composes with MultiSparkIndex for hybrid sparse+dense retrieval
+(reference `MultiIndex`, mutli.py:18-203).
+
+Score normalization mirrors the reference's distance->score mapping
+(usearch.py:23-44): cosine -> 1 - cos_distance == cosine similarity;
+inner-product -> the raw dot product.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_METRICS = ("cosine", "ip")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+class DenseSparkIndex:
+    """Exact (brute-force) dense top-k with the reference dense-index API.
+
+    State is a vectors DataFrame ``(doc_id: string, vector: array<double>)``.
+    For billion-vector corpora swap `score_queries` for the LSH-bucketed
+    variant (`operators/similarity.ann_lsh_topk`) — same result shape.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        metric: str = "cosine",
+        use_lsh: bool = False,
+    ) -> None:
+        if metric not in _METRICS:
+            msg = f"unsupported metric {metric!r}; choose from {_METRICS}"
+            raise ValueError(msg)
+        self.spark = spark
+        self.metric = metric
+        self.use_lsh = use_lsh
+        self.vectors: DataFrame | None = None
+
+    # ------------------------------------------------------------------ build
+    def build(self, vectors: DataFrame) -> DenseSparkIndex:
+        """DataFrame-native build: (doc_id, vector)."""
+        self.vectors = vectors.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("vector").cast("array<double>").alias("vector"),
+        ).persist()
+        return self
+
+    def add_many(self, keys: list[str], vectors: list[list[float]]) -> DenseSparkIndex:
+        if len(keys) != len(set(keys)):
+            msg = "Keys must be unique."
+            raise ValueError(msg)
+        new = self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": keys, "vector": vectors})
+        )
+        if self.vectors is None:
+            return self.build(new)
+        kept = self.vectors.join(new.select("doc_id"), "doc_id", "left_anti")
+        return self.build(kept.unionByName(new.select("doc_id", "vector")))
+
+    def remove_many(self, keys: list[str]) -> DenseSparkIndex:
+        if self.vectors is not None:
+            self.vectors = self.vectors.where(~F.col("doc_id").isin(keys)).persist()
+        return self
+
+    # ----------------------------------------------------------------- search
+    def score_queries(self, queries: DataFrame, *, top_k: int = 100) -> DataFrame:
+        """queries(query_id, vector) -> (query_id, rank, doc_id, score).
+
+        Broadcast the (small) query matrix across the embedding scan — one
+        narrow stage, no shuffle until the per-query window top-k.
+        """
+        q = queries.select("query_id", F.col("vector").cast("array<double>").alias("qvec"))
+        if self.use_lsh:
+            from baguetter_spark.operators.similarity import lsh_bucket
+
+            dim = len(self.vectors.select("vector").first()[0])
+            emb = self.vectors.withColumn("bucket", lsh_bucket(F.col("vector"), dim))
+            qb = q.withColumn("bucket", lsh_bucket(F.col("qvec"), dim))
+            joined = emb.join(F.broadcast(qb), "bucket")
+        else:
+            joined = self.vectors.crossJoin(F.broadcast(q))
+
+        if self.metric == "cosine":
+            score = _dot(F.col("vector"), F.col("qvec")) / (
+                _norm(F.col("vector")) * _norm(F.col("qvec"))
+            )
+        else:  # ip
+            score = _dot(F.col("vector"), F.col("qvec"))
+
+        scored = joined.select("query_id", "doc_id", score.alias("score"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def search_many(self, query_vectors: list[list[float]], *, top_k: int = 100):
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "query_id": [f"q{i}" for i in range(len(query_vectors))],
+                    "vector": query_vectors,
+                }
+            )
+        )
+        rows = self.score_queries(qdf, top_k=top_k).collect()
+        by_q: dict[str, list] = {f"q{i}": [] for i in range(len(query_vectors))}
+        for r in rows:
+            by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+        out = []
+        for i in range(len(query_vectors)):
+            entries = sorted(by_q[f"q{i}"])
+            out.append(([d for _, d, _ in entries], [s for _, _, s in entries]))
+        return out
+
+    def search(self, query_vector: list[float], *, top_k: int = 100):
+        return self.search_many([query_vector], top_k=top_k)[0]

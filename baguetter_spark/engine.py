@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from baguetter_spark.config import SparseIndexConfig
 from baguetter_spark.fixtures import transcripts_from_corpus
+from baguetter_spark.operators.bmx import BMXIndex, bmx_score_queries, build_bmx_index
 from baguetter_spark.operators.indexer import BM25Index, build_index
 from baguetter_spark.operators.search import score_queries
 
@@ -130,3 +131,28 @@ class BM25SparkIndex:
         )
         res = self.score_queries(qdf, top_k=top_k)
         return self._collect(res, ["q0"], strip_turn=True)[0]
+
+
+class BMXSparkIndex(BM25SparkIndex):
+    """Distributed BMX index: the Spark counterpart of `BMXSparseIndex`
+    (`baguetter/indices/sparse/bmx.py:10-83`).  Shares the add/remove/search
+    API with the BM25 facade; the build and the scoring kernel come from
+    operators/bmx.py (min_df applied, query-dependent entropy/sim terms)."""
+
+    def build(self, transcripts: DataFrame) -> BMXSparkIndex:
+        self.index = build_bmx_index(self.spark, transcripts, self.config)
+        return self
+
+    def _rebuild(self) -> BMXSparkIndex:
+        sdf = self.spark.createDataFrame(self._corpus)
+        self.index = build_bmx_index(self.spark, sdf, self.config)
+        return self
+
+    def score_queries(
+        self,
+        queries: DataFrame,
+        *,
+        top_k: int = 100,
+        parity: bool = True,
+    ) -> DataFrame:
+        return bmx_score_queries(self.index, queries, top_k=top_k, parity=parity)

@@ -1008,6 +1008,9 @@ def gate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"fuse_{alg}"] = fusion_query(alg)
     for op in ("union", "intersect", "diff"):
         q[f"postings_{op}"] = setops_query(op)
+    from baguetter_spark.gate2 import gate2_queries
+
+    q.update(gate2_queries())
     return q
 
 
@@ -1039,4 +1042,7 @@ def gate_oracle_sql() -> dict[str, str]:
         s[f"fuse_{alg}"] = fusion_sql(alg)
     for op in ("union", "intersect", "diff"):
         s[f"postings_{op}"] = SETOPS_SQL[op]
+    from baguetter_spark.gate2 import gate2_oracle_sql
+
+    s.update(gate2_oracle_sql())
     return s

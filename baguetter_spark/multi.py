@@ -1,0 +1,217 @@
+"""Hybrid retrieval: MultiIndex fan-out + SearchEngine doc-store join.
+
+Spark counterparts of:
+- `baguetter/indices/mutli.py:18-203` (`MultiIndex`): fan one query batch to
+  N named sub-indices, merge per-query runs with the Fuser.  The reference's
+  thread-pool fan-out becomes N Spark jobs whose result DataFrames union into
+  one runs table; the fusion itself is a groupBy aggregation (operators/
+  fuser.py) — one shuffle, any number of queries.
+- `baguetter/indices/search_engine.py:58-220` (`SearchEngine`): an index
+  plus a key-value doc store hydrating result values.  The SQLite KV store
+  (`utils/sqlite_key_val.py`) becomes the docs DataFrame itself; `get_many`
+  becomes a broadcast-friendly join on doc_id — no driver round-trip.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baguetter_spark.operators.fuser import fuse
+
+
+class MultiSparkIndex:
+    """Composite index fanning searches to named sub-engines and fusing.
+
+    Sub-engines are any objects with ``build(transcripts)``, ``add_many``,
+    ``remove_many`` and ``score_queries(queries_df, top_k=...)`` — i.e.
+    BM25SparkIndex / BMXSparkIndex / another MultiSparkIndex.
+    """
+
+    def __init__(
+        self,
+        indices: dict[str, object] | None = None,
+        *,
+        algorithm: str = "reciprocal_rank",
+        weights: dict[str, float] | None = None,
+    ) -> None:
+        # default algorithm = reciprocal_rank (reference fuser/config.py:8-16)
+        self.indices: dict[str, object] = dict(indices or {})
+        self.algorithm = algorithm
+        self.weights = weights
+
+    @property
+    def name(self) -> str:
+        return str(list(self.indices.keys()))
+
+    def add_index(self, key: str, index: object) -> MultiSparkIndex:
+        self.indices[key] = index
+        return self
+
+    def remove_index(self, key: str) -> MultiSparkIndex:
+        self.indices.pop(key, None)
+        return self
+
+    # ------------------------------------------------------------------ build
+    def build(self, transcripts: DataFrame) -> MultiSparkIndex:
+        for idx in self.indices.values():
+            idx.build(transcripts)
+        return self
+
+    def add_many(self, keys: list[str], values: list[str]) -> MultiSparkIndex:
+        for idx in self.indices.values():
+            idx.add_many(keys, values)
+        return self
+
+    def remove_many(self, keys: list[str]) -> MultiSparkIndex:
+        for idx in self.indices.values():
+            idx.remove_many(keys)
+        return self
+
+    # ----------------------------------------------------------------- search
+    def score_queries(self, queries: DataFrame, *, top_k: int = 100) -> DataFrame:
+        """Fan out + fuse: each sub-index scores the whole batch; the union
+        of runs feeds one fusion aggregation (reference mutli.py:172-203 →
+        fuser.merge).
+
+        Doc identity across heterogeneous engines: sparse engines emit
+        ``conv_id:turn_idx`` ids while list-API engines (dense, doc-store)
+        emit raw keys; the reference's MultiIndex feeds every sub-index the
+        same keys so runs align by construction (mutli.py:105-121).  We
+        restore that alignment by stripping the synthetic ``:0`` turn suffix
+        uniformly from every run before fusing."""
+        runs = None
+        for name, idx in self.indices.items():
+            r = idx.score_queries(queries, top_k=top_k).withColumn("run", F.lit(name))
+            runs = r if runs is None else runs.unionByName(r)
+        if runs is None:
+            msg = "MultiSparkIndex has no sub-indices"
+            raise ValueError(msg)
+        runs = runs.withColumn("doc_id", F.regexp_replace("doc_id", ":0$", ""))
+        return fuse(
+            runs.select("query_id", "run", "doc_id", "score"),
+            self.algorithm,
+            weights=self.weights,
+            top_k=top_k,
+        )
+
+    def search_many(self, queries: list[str], *, top_k: int = 100):
+        if not self.indices:
+            msg = "MultiSparkIndex has no sub-indices"
+            raise ValueError(msg)
+        spark = next(iter(self.indices.values())).spark
+        qdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [f"q{i}" for i in range(len(queries))], "text": queries}
+            )
+        )
+        res = self.score_queries(qdf, top_k=top_k).collect()
+        by_q: dict[str, list] = {f"q{i}": [] for i in range(len(queries))}
+        for r in res:
+            by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
+        out = []
+        for i in range(len(queries)):
+            entries = sorted(by_q[f"q{i}"])
+            keys = [d[:-2] if d.endswith(":0") else d for _, d, _ in entries]
+            out.append((keys, [s for _, _, s in entries]))
+        return out
+
+    def search(self, query: str, *, top_k: int = 100):
+        return self.search_many([query], top_k=top_k)[0]
+
+
+class SparkSearchEngine:
+    """Index + document store: results hydrated with the stored values.
+
+    The reference pairs the index with a SQLite pickle KV table and calls
+    ``store.get_many(keys)`` per query (search_engine.py:169-176); here the
+    store is the corpus DataFrame and hydration is a join — executed once
+    for the whole query batch.  ``post_process_fn`` mirrors the reference's
+    reranker hook (search_engine.py:54,178-180): a driver-side callable over
+    the collected batch, or None.
+    """
+
+    def __init__(
+        self,
+        index: object,
+        *,
+        name: str = "new-search-engine",
+        post_process_fn: Callable | None = None,
+    ) -> None:
+        self.index = index
+        self._name = name
+        self.post_process_fn = post_process_fn
+        self.store: DataFrame | None = None  # doc_id, value
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def build(self, transcripts: DataFrame) -> SparkSearchEngine:
+        self.index.build(transcripts)
+        self.store = transcripts.select(
+            F.concat_ws(
+                ":", F.col("conv_id"), F.col("turn_idx").cast("string")
+            ).alias("doc_id"),
+            F.col("text").alias("value"),
+        ).persist()
+        return self
+
+    def add_many(self, keys: list[str], values: list[str]) -> SparkSearchEngine:
+        self.index.add_many(keys, values)
+        spark = self.index.spark
+        new = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [f"{k}:0" for k in keys], "value": values})
+        )
+        self.store = (
+            new
+            if self.store is None
+            else self.store.join(new.select("doc_id"), "doc_id", "left_anti").unionByName(new)
+        )
+        return self
+
+    def remove_many(self, keys: list[str]) -> SparkSearchEngine:
+        self.index.remove_many(keys)
+        if self.store is not None:
+            gone = {f"{k}:0" for k in keys} | set(keys)
+            self.store = self.store.where(~F.col("doc_id").isin(list(gone)))
+        return self
+
+    def score_queries(self, queries: DataFrame, *, top_k: int = 100) -> DataFrame:
+        """-> (query_id, rank, doc_id, score, value): one hydration join for
+        the whole batch (the reference's per-query get_many, S8)."""
+        res = self.index.score_queries(queries, top_k=top_k)
+        return res.join(self.store, "doc_id", "left").select(
+            "query_id", "rank", "doc_id", "score", "value"
+        )
+
+    def search_many(self, queries: list[str], *, top_k: int = 100):
+        spark = self.index.spark
+        qdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [f"q{i}" for i in range(len(queries))], "text": queries}
+            )
+        )
+        rows = self.score_queries(qdf, top_k=top_k).collect()
+        by_q: dict[str, list] = {f"q{i}": [] for i in range(len(queries))}
+        for r in rows:
+            by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"], r["value"]))
+        out = []
+        for i, q in enumerate(queries):
+            entries = sorted(by_q[f"q{i}"])
+            result = {
+                "query": q,
+                "keys": [d[:-2] if d.endswith(":0") else d for _, d, _, _ in entries],
+                "scores": [s for _, _, s, _ in entries],
+                "values": [v for _, _, _, v in entries],
+            }
+            out.append(result)
+        if self.post_process_fn is not None:
+            out = self.post_process_fn(out)
+        return out
+
+    def search(self, query: str, *, top_k: int = 100):
+        return self.search_many([query], top_k=top_k)[0]

@@ -1,0 +1,449 @@
+"""BMX index build + scoring, Spark-first.
+
+Re-expresses the reference BMX path (SURVEY §2 B12-B14, Q10-Q11;
+`baguetter/indices/sparse/models/bmx/index.py`, `.../bmx.py`) as DataFrame
+stages sharing the BM25 build skeleton:
+
+    tokenize-explode (one Arrow pass)   ~ CountVectorizer     (index.py:209-233)
+    -> TF agg                           ~ doc-term matrix     (B12)
+    -> df filter (min_df) + sorted vocab~ feature selection   (index.py:211-218)
+    -> per-term idf(f32) + entropy(f64) ~ inverted index      (B13, index.py:151-183)
+    -> per-doc filtered lens, rel_lens  ~ doc_lens            (B14, index.py:245-247)
+    -> posting blocks (doc_ids, tfs, rel_lens)                (skew-bounded, as BM25)
+
+Query serving (Q10) is the same broadcast scatter/gather as BM25 search, but
+the score has a query-dependent part that cannot be precomputed at index
+time: ``score += w * (idf * tf*(a+1)/(tf + a*rel_len + a*avg_entropy)
++ sim * entropy_norm * beta)`` where ``avg_entropy``/``entropy_norm`` are
+per-QUERY normalized entropies and ``sim = |Q∩D|/|Q|`` counts duplicate
+query tokens (index.py:36-50,105-148).  So posting blocks carry
+``(doc_ids, tfs, rel_lens)`` — rel_len is baked per posting exactly like
+BM25 bakes impacts, which removes the doc-side join from the hot query path
+at 100 TB scale — and the kernel runs in the gather fold.
+
+Float discipline (parity mode, differential-tested vs oracle/bmx_ref.py):
+- idf computed entirely in float32 (the reference casts df to float32 first);
+- entropy in float64; per-query normalization (max, mean) in float64 numpy;
+- avg_doc_len emulates the reference's ``float(np.mean(float32_lens))``:
+  exact float32 sum/divide while total tokens < 2**24 (always true at parity
+  test scale; above that we fall back to the exact float64 mean and document
+  the ~1e-7 divergence — the single-node reference cannot reach that scale);
+- contributions computed in float64, accumulated into a float32 accumulator
+  in query-token order (``scores[ids] += f64`` semantics of the kernel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from baguetter_spark.compress import (
+    decode_doc_ids,
+    decode_impacts,
+    decode_tfs,
+    encode_doc_ids,
+    encode_impacts,
+    encode_tfs,
+)
+from baguetter_spark.config import SparseIndexConfig
+from baguetter_spark.operators.indexer import exploded_terms, indexed_docs
+from baguetter_spark.operators.search import tokenize_queries
+from baguetter_spark.operators.zipindex import zip_with_index
+
+
+@dataclass
+class BMXIndex:
+    """Handle to the BMX index tables + scalar stats (mirror of the reference
+    `BMX` dataclass, index.py:24-33, as DataFrames)."""
+
+    doc_map: DataFrame  # doc_idx, doc_id, doc_len (min_df-filtered), rel_len
+    vocab: DataFrame  # term_id, term, df, idf (f32-exact), entropy (f64)
+    postings: DataFrame  # term_id, block_id, n_postings, doc_ids_delta, tfs, rel_lens
+    n_docs: int
+    avg_doc_len: float
+    config: SparseIndexConfig
+
+
+def _avg_doc_len_f32_emulated(total_len: int, n_docs: int) -> float:
+    """float(np.mean(doc_lens_f32)) — numpy sums float32 pairwise then divides
+    by the count in float32.  For integer-valued lens this is exact while the
+    total stays < 2**24, so sum-in-int64 → one f32 divide reproduces it
+    bit-for-bit at any partitioning.  Above 2**24 the reference's pairwise
+    rounding is partition-order-dependent (not reproducible distributed):
+    use the exact float64 mean (divergence ~1e-7 relative)."""
+    if n_docs == 0:
+        return 0.0
+    if total_len < (1 << 24):
+        return float(np.float32(total_len) / np.float32(n_docs))
+    return float(total_len) / float(n_docs)
+
+
+def build_bmx_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: SparseIndexConfig | None = None,
+) -> BMXIndex:
+    """Build the BMX index (reference bmx.build_index, index.py:186-256)."""
+    config = config or SparseIndexConfig()
+    min_df = int(config.min_df)
+    is_f32 = config.dtype == "float32"
+
+    docs = indexed_docs(transcripts)
+    tf = (
+        exploded_terms(docs, config)
+        .groupBy("doc_idx", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+
+    # vocabulary: sorted rank over terms with df >= min_df (CountVectorizer
+    # min_df semantics, index.py:211-218; unlike BM25, min_df IS applied)
+    term_stats = (
+        tf.groupBy("term").agg(F.count("*").alias("df")).where(F.col("df") >= min_df)
+    ).persist()
+    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
+
+    n_docs = docs.count()
+
+    @F.pandas_udf("double")
+    def idf_udf(df_s: pd.Series) -> pd.Series:
+        # reference (index.py:171-172): df is cast to float32 FIRST, then the
+        # formula runs in float64 (numpy scalar-scalar ops promote f32+float
+        # to f64), and the result is stored float32.  Replicate: round df to
+        # f32 (lossless below 2**24), f64 math, f32-round iff dtype=float32.
+        df64 = df_s.to_numpy(dtype=np.float32).astype(np.float64)
+        vals = np.log(1.0 + ((n_docs - df64) + 0.5) / (df64 + 0.5))
+        if is_f32:
+            vals = vals.astype(np.float32).astype(np.float64)
+        return pd.Series(vals)
+
+    # per-term entropy: -sum(p * ln p), p = sigmoid(tf) — float64 JVM-side
+    # elementwise, distributed sum (index.py:175-176; order-independent to
+    # float64 round-off, invisible after the float32 score rounding)
+    p = 1.0 / (1.0 + F.exp(-F.col("tf").cast("double")))
+    ent = tf.join(vocab_base.select("term", "term_id"), "term").groupBy(
+        "term_id"
+    ).agg((-F.sum(p * F.log(p))).alias("entropy"))
+
+    vocab = (
+        vocab_base.withColumn("idf", idf_udf(F.col("df")))
+        .join(ent, "term_id", "left")
+        .select("term_id", "term", "df", "idf", "entropy")
+        .persist()
+    )
+
+    # doc lengths over RETAINED terms only (the min_df-filtered doc-term
+    # matrix defines doc_lens, index.py:245): sum tf where term in vocab
+    kept_tf = tf.join(vocab.select("term", "term_id"), "term")
+    doc_lens = kept_tf.groupBy("doc_idx").agg(F.sum("tf").cast("long").alias("doc_len"))
+    doc_map = (
+        docs.select("doc_idx", "doc_id")
+        .join(doc_lens, "doc_idx", "left")
+        .fillna(0, subset=["doc_len"])
+        .persist()
+    )
+    row = doc_map.agg(F.sum("doc_len").alias("t")).collect()[0]
+    total_len = int(row["t"] or 0)
+    avg_doc_len = (
+        _avg_doc_len_f32_emulated(total_len, n_docs)
+        if is_f32
+        else (float(total_len) / n_docs if n_docs else 0.0)
+    )
+
+    # rel_len = f32(doc_len) / f32(avg)  (f32 array / weak python-float scalar
+    # stays float32, index.py:247); f64 mode divides exactly
+    if is_f32:
+
+        @F.pandas_udf("double")
+        def rel_udf(dl: pd.Series) -> pd.Series:
+            vals = dl.to_numpy(dtype=np.float32) / np.float32(avg_doc_len)
+            return pd.Series(vals.astype(np.float64))
+
+        doc_map = doc_map.withColumn("rel_len", rel_udf(F.col("doc_len")))
+    else:
+        doc_map = doc_map.withColumn(
+            "rel_len", F.col("doc_len").cast("double") / F.lit(avg_doc_len)
+        )
+    doc_map = doc_map.persist()
+
+    postings = _assemble_bmx_blocks(
+        kept_tf.join(doc_map.select("doc_idx", "rel_len"), "doc_idx").select(
+            "term_id", "doc_idx", "tf", "rel_len"
+        ),
+        config,
+    ).persist()
+
+    return BMXIndex(
+        doc_map=doc_map,
+        vocab=vocab,
+        postings=postings,
+        n_docs=n_docs,
+        avg_doc_len=avg_doc_len,
+        config=config,
+    )
+
+
+def _assemble_bmx_blocks(flat: DataFrame, config: SparseIndexConfig) -> DataFrame:
+    """(term_id, doc_idx, tf, rel_len) -> encoded blocks; same doc-range
+    bounding as the BM25 assembly (hot-term skew defense, indexer.py)."""
+    block_range = config.block_doc_range
+    dtype = config.dtype
+    np_dtype = np.float32 if dtype == "float32" else np.float64
+
+    grouped = (
+        flat.withColumn("block_id", (F.col("doc_idx") / F.lit(block_range)).cast("long"))
+        .groupBy("term_id", "block_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_idx", "tf", "rel_len"))).alias("plist")
+        )
+        .select(
+            "term_id",
+            "block_id",
+            F.transform("plist", lambda x: x["doc_idx"]).alias("doc_ids"),
+            F.transform("plist", lambda x: x["tf"]).alias("tfs_arr"),
+            F.transform("plist", lambda x: x["rel_len"]).alias("rels_arr"),
+        )
+    )
+
+    out_schema = (
+        "term_id long, block_id long, n_postings int, doc_ids_delta binary, "
+        "tfs binary, rel_lens binary"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for term_id, block_id, doc_ids, tfs, rels in zip(
+                pdf["term_id"], pdf["block_id"], pdf["doc_ids"], pdf["tfs_arr"], pdf["rels_arr"]
+            ):
+                ids = np.asarray(doc_ids, dtype=np.int64)
+                tf_arr = np.asarray(tfs, dtype=np.int64)
+                rel_arr = np.asarray(rels, dtype=np_dtype)
+                rows.append(
+                    (
+                        term_id,
+                        block_id,
+                        len(ids),
+                        encode_doc_ids(ids),
+                        encode_tfs(tf_arr),
+                        encode_impacts(rel_arr, dtype),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "term_id", "block_id", "n_postings", "doc_ids_delta", "tfs", "rel_lens",
+                ],
+            )
+
+    return grouped.mapInPandas(encode, schema=out_schema)
+
+
+def bmx_score_queries(
+    index: BMXIndex,
+    queries: DataFrame,
+    *,
+    top_k: int = 100,
+    parity: bool = True,
+    normalize: bool | None = None,
+) -> DataFrame:
+    """Batch BMX search -> results(query_id, rank, doc_id, score).
+
+    Same scatter/gather shape as BM25 `score_queries`; the BMX kernel
+    (index.py:105-148) runs per (query, doc) group in the gather fold
+    because sims / entropy normalization are query-dependent.
+
+    Divergence (documented): empty / fully-OOV queries return 0 rows; the
+    reference returns ``zeros(top_k), arange(top_k)`` (index.py:63-65).
+    """
+    cfg = index.config
+    is_f32 = cfg.dtype == "float32"
+    normalize = cfg.normalize_scores if normalize is None else normalize
+    if parity and not is_f32:
+        msg = "parity mode requires dtype='float32'"
+        raise ValueError(msg)
+
+    alpha = cfg.alpha
+    if alpha is None:
+        alpha = max(min(1.5, index.avg_doc_len / 100), 0.5)
+    beta = cfg.beta if cfg.beta is not None else float(1.0 / np.log(1 + index.n_docs))
+
+    qterms = tokenize_queries(index, queries).select(
+        "query_id",
+        "tok_pos",
+        "term_id",
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("float").alias("weight"),
+        "n_tokens",
+    )
+    # attach per-term scalars to the (small) query-term table before the
+    # scatter: broadcast the QUERY side — the vocab is huge at scale
+    qterms = (
+        index.vocab.select("term_id", "idf", "entropy")
+        .join(F.broadcast(qterms), "term_id")
+        .select(
+            "query_id", "tok_pos", "term_id", "weight", "n_tokens", "idf", "entropy"
+        )
+    )
+
+    # per-query scalars: entropy normalized by the query max; avg over tokens
+    # in token order (np.asarray/max/mean float64, index.py:123-131)
+    @F.pandas_udf("double")
+    def ent_max_udf(ent_list: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(np.max(np.asarray([e["entropy"] for e in lst]))) for lst in ent_list]
+        )
+
+    @F.pandas_udf("double")
+    def avg_ent_udf(ent_list: pd.Series) -> pd.Series:
+        out = []
+        for lst in ent_list:
+            arr = np.asarray([e["entropy"] for e in lst])
+            out.append(float(np.mean(arr / np.max(arr))))
+        return pd.Series(out)
+
+    qscalars = (
+        qterms.groupBy("query_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("tok_pos", "entropy"))).alias("ents")
+        )
+        .select(
+            "query_id",
+            ent_max_udf(F.col("ents")).alias("ent_max"),
+            avg_ent_udf(F.col("ents")).alias("avg_entropy"),
+        )
+    )
+
+    # scatter: queried-term pushdown + broadcast join (as BM25 search)
+    qterm_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    postings = index.postings
+    if len(qterm_ids) <= 10_000:
+        postings = postings.where(F.col("term_id").isin(qterm_ids))
+    joined = postings.join(F.broadcast(qterms), "term_id").select(
+        "query_id", "tok_pos", "weight", "idf", "entropy", "n_tokens",
+        "n_postings", "doc_ids_delta", "tfs", "rel_lens",
+    )
+
+    dt = cfg.dtype
+    flat_schema = (
+        "query_id string, tok_pos int, weight float, idf double, entropy double, "
+        "n_tokens int, doc_idx long, tf long, rel_len double"
+    )
+
+    def decode_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols: dict[str, list] = {k: [] for k in (
+                "query_id", "tok_pos", "weight", "idf", "entropy", "n_tokens",
+                "doc_idx", "tf", "rel_len",
+            )}
+            for qid, pos, w, idf, ent, ntok, n, ids_buf, tf_buf, rel_buf in zip(
+                pdf["query_id"], pdf["tok_pos"], pdf["weight"], pdf["idf"],
+                pdf["entropy"], pdf["n_tokens"], pdf["n_postings"],
+                pdf["doc_ids_delta"], pdf["tfs"], pdf["rel_lens"],
+            ):
+                ids = decode_doc_ids(ids_buf, n)
+                tf_arr = decode_tfs(tf_buf, n)
+                rel = decode_impacts(rel_buf, dt).astype(np.float64)
+                cols["query_id"].append(np.full(n, qid, dtype=object))
+                cols["tok_pos"].append(np.full(n, pos, dtype=np.int32))
+                cols["weight"].append(np.full(n, w, dtype=np.float32))
+                cols["idf"].append(np.full(n, idf, dtype=np.float64))
+                cols["entropy"].append(np.full(n, ent, dtype=np.float64))
+                cols["n_tokens"].append(np.full(n, ntok, dtype=np.int32))
+                cols["doc_idx"].append(ids)
+                cols["tf"].append(tf_arr)
+                cols["rel_len"].append(rel)
+            yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+    flat = joined.mapInPandas(decode_flat, schema=flat_schema)
+    flat = flat.join(F.broadcast(qscalars), "query_id")
+
+    # gather: per-(query, doc) token list -> BMX kernel fold.
+    # sims = |Q∩D|/|Q| falls out of the group size (one row per matched
+    # query-token occurrence), so no separate similarity pass is needed.
+    gathered = flat.groupBy(
+        "query_id", "doc_idx", "n_tokens", "ent_max", "avg_entropy"
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("tok_pos", "weight", "tf", "rel_len", "idf", "entropy")
+            )
+        ).alias("toks")
+    )
+
+    a64, b64 = float(alpha), float(beta)
+    parity_fold = parity
+
+    @F.pandas_udf("double")
+    def bmx_fold(
+        toks_s: pd.Series, ntok_s: pd.Series, entmax_s: pd.Series, avgent_s: pd.Series
+    ) -> pd.Series:
+        out = np.empty(len(toks_s), dtype=np.float64)
+        for i, (lst, ntok, emax, eavg) in enumerate(
+            zip(toks_s, ntok_s, entmax_s, avgent_s)
+        ):
+            tf = np.asarray([t["tf"] for t in lst], dtype=np.float64)
+            rel = np.asarray([t["rel_len"] for t in lst], dtype=np.float64)
+            idf = np.asarray([t["idf"] for t in lst], dtype=np.float64)
+            ent = np.asarray([t["entropy"] for t in lst], dtype=np.float64)
+            w = np.asarray([t["weight"] for t in lst], dtype=np.float64)
+            if parity_fold:
+                sim = np.float64(np.float32(len(lst)) / np.float32(int(ntok)))
+            else:
+                sim = len(lst) / float(ntok)
+            contrib = w * (
+                idf * ((tf * (a64 + 1.0)) / (tf + a64 * rel + a64 * eavg))
+                + sim * (ent / emax) * b64
+            )
+            if parity_fold:
+                acc = np.float32(0.0)
+                for c in contrib:
+                    acc = np.float32(np.float64(acc) + c)
+                out[i] = np.float64(acc)
+            else:
+                out[i] = contrib.sum()
+        return pd.Series(out)
+
+    scores = gathered.select(
+        "query_id",
+        "doc_idx",
+        "n_tokens",
+        bmx_fold(F.col("toks"), F.col("n_tokens"), F.col("ent_max"), F.col("avg_entropy")).alias(
+            "score"
+        ),
+    )
+
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_idx").asc()
+    )
+    topk = (
+        scores.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .join(index.doc_map.select("doc_idx", "doc_id"), "doc_idx")
+    )
+
+    if normalize:
+        n_docs = index.n_docs
+
+        @F.pandas_udf("double")
+        def norm_udf(score_s: pd.Series, n_s: pd.Series) -> pd.Series:
+            # BMXSparseIndex.normalize_scores (bmx.py:17-33): f32 scores /
+            # weak f64 scalar stays float32
+            n = n_s.to_numpy(dtype=np.float64)
+            factor = n * np.log(1 + (n_docs - 0.5) / 1.5)
+            if is_f32:
+                s32 = score_s.to_numpy(dtype=np.float32)
+                return pd.Series((s32 / factor.astype(np.float32)).astype(np.float64))
+            return pd.Series(score_s.to_numpy(dtype=np.float64) / factor)
+
+        topk = topk.withColumn("score", norm_udf(F.col("score"), F.col("n_tokens")))
+
+    if is_f32:
+        topk = topk.withColumn("score", F.col("score").cast("float"))
+    return topk.select("query_id", "rank", "doc_id", "score")

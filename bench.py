@@ -108,6 +108,11 @@ def main() -> None:
     score_queries(idx_tr, qdf, top_k=TOP_K, parity=True).count()
     timings["search_parity_100q"] = time.time() - t0
 
+    # --- q5: rank-safe block-max MaxScore pruned search ---------------------
+    t0 = time.time()
+    score_queries(idx_tr, qdf, top_k=TOP_K, pruned=True).count()
+    timings["search_pruned_100q"] = time.time() - t0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bm25_index_build_and_search_wall_sec",
