@@ -69,6 +69,13 @@ class BM25SparkIndex:
         )
         return self._rebuild()
 
+    def add(self, key: str, value: str) -> BM25SparkIndex:
+        """Single-doc alias (reference indices/base.py add -> add_many)."""
+        return self.add_many([key], [value])
+
+    def remove(self, key: str) -> BM25SparkIndex:
+        return self.remove_many([key])
+
     def remove_many(self, keys: list[str]) -> BM25SparkIndex:
         if self._corpus is None:
             return self

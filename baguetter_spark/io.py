@@ -199,16 +199,27 @@ def build_index_resumable(
         assemble_posting_blocks,
         build_vocab,
         corpus_stats,
+        docs_from_transcripts,
         exploded_terms,
         impacts_flat,
-        indexed_docs,
+        indexed_keys,
     )
 
     io = TableIO(spark, workdir)
     runner = StageRunner(io)
     base_fp = f"{input_id}:{config.config_hash()}"
 
-    docs = indexed_docs(transcripts)
+    keys = indexed_keys(transcripts)
+    # shuffle_hash: avoid the SMJ string-sort of the text side (see indexer.py)
+    docs = (
+        docs_from_transcripts(transcripts)
+        .select("conv_id", "turn_idx", "text")
+        .join(
+            keys.select("conv_id", "turn_idx", "doc_idx").hint("shuffle_hash"),
+            ["conv_id", "turn_idx"],
+        )
+        .select("doc_idx", "text")
+    )
 
     tf = runner.run(
         "stage_tf",
@@ -222,7 +233,7 @@ def build_index_resumable(
     doc_map = runner.run(
         "stage_doc_map",
         f"{base_fp}:doc_map",
-        lambda: docs.select("doc_idx", "doc_id")
+        lambda: keys.select("doc_idx", "doc_id")
         .join(
             tf.groupBy("doc_idx").agg(F2.sum("tf").cast("int").alias("doc_len")),
             "doc_idx",

@@ -39,7 +39,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from baguetter_spark.compress import (
@@ -51,7 +51,11 @@ from baguetter_spark.compress import (
     encode_tfs,
 )
 from baguetter_spark.config import SparseIndexConfig
-from baguetter_spark.operators.indexer import exploded_terms, indexed_docs
+from baguetter_spark.operators.indexer import (
+    docs_from_transcripts,
+    exploded_terms,
+    indexed_keys,
+)
 from baguetter_spark.operators.search import tokenize_queries
 from baguetter_spark.operators.zipindex import zip_with_index
 
@@ -93,7 +97,17 @@ def build_bmx_index(
     min_df = int(config.min_df)
     is_f32 = config.dtype == "float32"
 
-    docs = indexed_docs(transcripts)
+    keys = indexed_keys(transcripts)
+    # shuffle_hash: avoid the SMJ string-sort of the text side (see indexer.py)
+    docs = (
+        docs_from_transcripts(transcripts)
+        .select("conv_id", "turn_idx", "text")
+        .join(
+            keys.select("conv_id", "turn_idx", "doc_idx").hint("shuffle_hash"),
+            ["conv_id", "turn_idx"],
+        )
+        .select("doc_idx", "text")
+    )
     tf = (
         exploded_terms(docs, config)
         .groupBy("doc_idx", "term")
@@ -108,7 +122,7 @@ def build_bmx_index(
     ).persist()
     vocab_base = zip_with_index(term_stats, ["term"], "term_id")
 
-    n_docs = docs.count()
+    n_docs = keys.count()
 
     @F.pandas_udf("double")
     def idf_udf(df_s: pd.Series) -> pd.Series:
@@ -142,7 +156,7 @@ def build_bmx_index(
     kept_tf = tf.join(vocab.select("term", "term_id"), "term")
     doc_lens = kept_tf.groupBy("doc_idx").agg(F.sum("tf").cast("long").alias("doc_len"))
     doc_map = (
-        docs.select("doc_idx", "doc_id")
+        keys.select("doc_idx", "doc_id")
         .join(doc_lens, "doc_idx", "left")
         .fillna(0, subset=["doc_len"])
         .persist()
@@ -318,11 +332,13 @@ def bmx_score_queries(
         )
     )
 
-    # scatter: queried-term pushdown + broadcast join (as BM25 search)
-    qterm_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    # scatter: queried-term pushdown + broadcast join (as BM25 search);
+    # the pushdown job is skipped for in-memory postings (see search.py)
     postings = index.postings
-    if len(qterm_ids) <= 10_000:
-        postings = postings.where(F.col("term_id").isin(qterm_ids))
+    if not postings.storageLevel.useMemory:
+        qterm_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+        if len(qterm_ids) <= 10_000:
+            postings = postings.where(F.col("term_id").isin(qterm_ids))
     joined = postings.join(F.broadcast(qterms), "term_id").select(
         "query_id", "tok_pos", "weight", "idf", "entropy", "n_tokens",
         "n_postings", "doc_ids_delta", "tfs", "rel_lens",
@@ -419,13 +435,12 @@ def bmx_score_queries(
         ),
     )
 
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_idx").asc()
-    )
-    topk = (
-        scores.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= top_k)
-        .join(index.doc_map.select("doc_idx", "doc_id"), "doc_idx")
+    from baguetter_spark.operators.search import per_query_topk
+
+    # two-phase rank-safe top-k (see per_query_topk: bounds the window's
+    # input to k rows per partition — hot-query straggler defense)
+    topk = per_query_topk(scores, top_k).join(
+        index.doc_map.select("doc_idx", "doc_id"), "doc_idx"
     )
 
     if normalize:

@@ -198,17 +198,29 @@ def docs_from_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def indexed_docs(transcripts: DataFrame) -> DataFrame:
-    """transcripts -> (doc_idx, doc_id, text); doc_idx = rank of
+def indexed_keys(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> (conv_id, turn_idx, doc_id, doc_idx); doc_idx = rank of
     (conv_id, turn_idx) — the reference's insertion order (SURVEY §4.2.4).
-    The range shuffle moves raw text once (zip_with_index persists its
-    shuffled input, so its two passes don't re-read the source)."""
-    docs = docs_from_transcripts(transcripts)
-    return zip_with_index(
-        docs.select("conv_id", "turn_idx", "doc_id", "text"),
-        ["conv_id", "turn_idx"],
-        "doc_idx",
-    ).select("doc_idx", "doc_id", "text")
+
+    The rank is computed over the NARROW key frame — parquet column pruning
+    keeps the zipindex range-sampling pass and its persisted two-pass state
+    at ~2% of corpus size instead of caching the raw text of the whole
+    corpus.  Consumers that need text (the tokenizer) join it back on the
+    key so the text column crosses the wire exactly once; consumers that
+    don't (doc_map) read the persisted narrow frame.  At 10^12 turns this is
+    the difference between persisting terabytes and persisting key columns."""
+    keys = docs_from_transcripts(transcripts).select("conv_id", "turn_idx", "doc_id")
+    return zip_with_index(keys, ["conv_id", "turn_idx"], "doc_idx")
+
+
+def indexed_docs(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> (doc_idx, doc_id, text): the text-joined form (see
+    indexed_keys for the narrow-rank design)."""
+    keys = indexed_keys(transcripts)
+    docs = docs_from_transcripts(transcripts).select("conv_id", "turn_idx", "text")
+    return docs.join(keys.hint("shuffle_hash"), ["conv_id", "turn_idx"]).select(
+        "doc_idx", "doc_id", "text"
+    )
 
 
 def exploded_terms(docs: DataFrame, config: SparseIndexConfig) -> DataFrame:
@@ -380,7 +392,21 @@ def build_index(
     caching; for the checkpoint-resumable variant see io.build_index_resumable)."""
     config = config or SparseIndexConfig()
 
-    docs = indexed_docs(transcripts)
+    keys = indexed_keys(transcripts)
+    # shuffle_hash: without the hint this compiles to a sort-merge join that
+    # fully SORTS the text side by its string key — pure overhead, since the
+    # text only needs to MEET its doc_idx, not be ordered by conv_id.  SHJ
+    # shuffles both sides (the text moves exactly once either way) and
+    # builds the hash table on the narrow key side.
+    docs = (
+        docs_from_transcripts(transcripts)
+        .select("conv_id", "turn_idx", "text")
+        .join(
+            keys.select("conv_id", "turn_idx", "doc_idx").hint("shuffle_hash"),
+            ["conv_id", "turn_idx"],
+        )
+        .select("doc_idx", "text")
+    )
     # tf is the one heavy intermediate; everything downstream (doc lengths,
     # corpus stats, vocabulary, impacts) derives from it, so the corpus
     # crosses the tokenizer exactly once
@@ -391,10 +417,11 @@ def build_index(
         .persist()
     )
 
-    # doc_map: doc_len = sum(tf) per doc (== token count); empty docs get 0
+    # doc_map: doc_len = sum(tf) per doc (== token count); empty docs get 0.
+    # Built from the NARROW key frame — no second pass over the text.
     doc_lens = tf.groupBy("doc_idx").agg(F.sum("tf").cast("int").alias("doc_len"))
     doc_map = (
-        docs.select("doc_idx", "doc_id")
+        keys.select("doc_idx", "doc_id")
         .join(doc_lens, "doc_idx", "left")
         .fillna(0, subset=["doc_len"])
         .persist()

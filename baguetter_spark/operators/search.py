@@ -53,6 +53,37 @@ _NORM_SQL = {
 }
 
 
+def per_query_topk(scores: DataFrame, top_k: int) -> DataFrame:
+    """(query_id, doc_idx, score) -> rows with rank <= top_k per query,
+    canonical tie order (score desc, doc_idx asc).
+
+    Two-phase: a partition-local top-k first, then the global window.  The
+    naive `row_number() OVER (PARTITION BY query_id)` funnels EVERY candidate
+    of a query through one task — a hot-term query over 10^12 docs has ~10^10
+    candidates, which is a guaranteed straggler/OOM at scale.  The local
+    phase bounds the window's input to k rows per (query, partition); it is
+    rank-safe because any global top-k row is also in its own partition's
+    top-k under the same total order.
+    """
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "score", "doc_idx"], ascending=[True, False, True]
+            )
+            yield pdf.groupby("query_id", sort=False).head(top_k)
+
+    pruned = scores.mapInPandas(local_topk, schema=scores.schema)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_idx").asc()
+    )
+    return pruned.withColumn("rank", F.row_number().over(w_rank)).where(
+        F.col("rank") <= top_k
+    )
+
+
 def tokenize_queries(index: BM25Index, queries: DataFrame) -> DataFrame:
     """queries(query_id, text[, weight]) -> (query_id, tok_pos, term_id, weight,
     n_tokens).  n_tokens counts IN-VOCAB tokens (reference normalizes by
@@ -118,10 +149,15 @@ def score_queries(
     # sorted by term_id, io.save_index) this turns into row-group min/max
     # pruning — at 100 TB only the queried terms' blocks are read instead of
     # the whole posting table (the broadcast join alone would scan all of it).
-    qterm_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+    # Collecting the id set costs one extra Spark job (tokenize + vocab join),
+    # so it runs only when the posting table actually hits storage — for an
+    # in-memory (persisted) index the filter saves nothing and the job is
+    # pure per-batch latency.
     postings = index.postings
-    if len(qterm_ids) <= 10_000:  # keep the isin literal list sane for huge batches
-        postings = postings.where(F.col("term_id").isin(qterm_ids))
+    if not postings.storageLevel.useMemory:
+        qterm_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
+        if len(qterm_ids) <= 10_000:  # keep the isin literal sane for huge batches
+            postings = postings.where(F.col("term_id").isin(qterm_ids))
     joined = postings.join(
         F.broadcast(qterms), "term_id"
     ).select(
@@ -250,13 +286,8 @@ def score_queries(
         scores = partials.groupBy("query_id", "doc_idx").agg(score_col.alias("score"))
 
     # --- per-query top-k (canonical tie order) + doc_id remap --------------
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_idx").asc()
-    )
-    topk = (
-        scores.withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= top_k)
-        .join(index.doc_map.select("doc_idx", "doc_id"), "doc_idx")
+    topk = per_query_topk(scores, top_k).join(
+        index.doc_map.select("doc_idx", "doc_id"), "doc_idx"
     )
 
     if normalize:

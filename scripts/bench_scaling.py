@@ -88,6 +88,7 @@ def main() -> None:
 
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     cache_dir = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -97,16 +98,43 @@ def main() -> None:
 
         gen_transcripts(n_turns, seed=42, vocab_size=20_000).to_parquet(tpath, index=False)
 
-    tput_n = measure(n_cores, tpath, n_turns)
-    tput_4n = measure(n_cores * 4, tpath, n_turns)
-    eff = tput_4n / (4 * tput_n)
+    # This VM's run-to-run throughput noise is +-20-30% (hypervisor/
+    # neighbor effects), so legs are measured in interleaved trials and the
+    # per-leg MEDIAN is the recorded number (best also reported).
+    runs_n: list[float] = []
+    runs_4n: list[float] = []
+    for t in range(trials):
+        runs_n.append(measure(n_cores, tpath, n_turns))
+        runs_4n.append(measure(n_cores * 4, tpath, n_turns))
+        print(
+            json.dumps(
+                {
+                    "trial": t,
+                    "turns_per_sec_N": round(runs_n[-1], 1),
+                    "turns_per_sec_4N": round(runs_4n[-1], 1),
+                    "eff": round(runs_4n[-1] / (4 * runs_n[-1]), 3),
+                }
+            ),
+            flush=True,
+        )
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    tput_n, tput_4n = median(runs_n), median(runs_4n)
     out = {
         "n_turns": n_turns,
         "cores_N": n_cores,
         "cores_4N": n_cores * 4,
+        "trials": trials,
         "turns_per_sec_N": round(tput_n, 1),
         "turns_per_sec_4N": round(tput_4n, 1),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(tput_4n / (4 * tput_n), 3),
+        "best_N": round(max(runs_n), 1),
+        "best_4N": round(max(runs_4n), 1),
+        "scaling_efficiency_best": round(max(runs_4n) / (4 * max(runs_n)), 3),
         "pinned": "taskset",
     }
     print(json.dumps(out))
