@@ -69,6 +69,13 @@ class BM25SparkIndex:
         )
         return self._rebuild()
 
+    def tokenize(self, text: str) -> list[str]:
+        """Run the index's preprocessing pipeline on one string (reference
+        base.py:293-323 `tokenize`) — driver-side, same code the UDF runs."""
+        from baguetter_spark.functions.preprocess import make_processor
+
+        return make_processor(self.config.preprocessor)(text)
+
     def add(self, key: str, value: str) -> BM25SparkIndex:
         """Single-doc alias (reference indices/base.py add -> add_many)."""
         return self.add_many([key], [value])

@@ -206,10 +206,17 @@ def evaluate_retrievers(
     metrics = metrics or create_metrics(["ndcg", "precision", "mrr"], [1, 5, 10])
     results = EvalResults()
     for ds in datasets:
+        # corpora with a title column index "title text" (reference
+        # HFDataset.get_corpus concat, hf_dataset.py:40-90)
+        text_col = (
+            F.concat_ws(" ", F.col("title"), F.col("text"))
+            if "title" in ds.corpus.columns
+            else F.col("text")
+        )
         transcripts = ds.corpus.select(
             F.col("doc_id").cast("string").alias("conv_id"),
             F.lit(0).alias("turn_idx"),
-            F.col("text"),
+            text_col.alias("text"),
         )
         report: dict[str, dict[str, float]] = {}
         timings: dict[str, dict[str, float]] = {}

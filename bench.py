@@ -113,6 +113,24 @@ def main() -> None:
     score_queries(idx_tr, qdf, top_k=TOP_K, pruned=True).count()
     timings["search_pruned_100q"] = time.time() - t0
 
+    # --- q6: BMX build + search over the documents table --------------------
+    from baguetter_spark.operators.bmx import bmx_score_queries, build_bmx_index
+
+    t0 = time.time()
+    idx_bmx = build_bmx_index(spark, documents_as_transcripts(spark, sf_dir), cfg_docs)
+    idx_bmx.postings.count()
+    timings["bmx_build_documents"] = time.time() - t0
+    t0 = time.time()
+    qdoc = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [f"b{i}" for i in range(20)],
+             "text": ["sort merge join", "fast window scan hash", "group filter value",
+                      "stream batch line", "slow row query"] * 4}
+        )
+    )
+    bmx_score_queries(idx_bmx, qdoc, top_k=TOP_K, parity=False).count()
+    timings["bmx_search_20q"] = time.time() - t0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bm25_index_build_and_search_wall_sec",
