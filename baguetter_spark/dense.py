@@ -91,10 +91,22 @@ class DenseSparkIndex:
         narrow stage, no shuffle until the per-query window top-k.
         """
         q = queries.select("query_id", F.col("vector").cast("array<double>").alias("qvec"))
+        # dimension guard: a mismatched query vector would otherwise produce
+        # silent null scores (zip_with null-pads) — fail loudly instead
+        dim = len(self.vectors.select("vector").first()[0])
+        q = q.withColumn(
+            "__dimchk",
+            F.assert_true(
+                F.size("qvec") == dim,
+                F.concat(
+                    F.lit(f"query vector dimension != index dimension {dim}: got "),
+                    F.size("qvec").cast("string"),
+                ),
+            ),
+        ).drop("__dimchk")
         if self.use_lsh:
             from baguetter_spark.operators.similarity import lsh_bucket
 
-            dim = len(self.vectors.select("vector").first()[0])
             emb = self.vectors.withColumn("bucket", lsh_bucket(F.col("vector"), dim))
             qb = q.withColumn("bucket", lsh_bucket(F.col("qvec"), dim))
             joined = emb.join(F.broadcast(qb), "bucket")

@@ -59,6 +59,16 @@ def test_add_remove_many(spark):
         index.add_many(["a", "a"], [list(vecs[0]), list(vecs[1])])
 
 
+def test_dim_mismatch_raises(spark):
+    """A wrong-dimension query vector must fail loudly, not return null
+    scores (zip_with would silently null-pad)."""
+    index = DenseSparkIndex(spark).add_many(
+        ["a", "b"], [[1.0, 0.0], [0.0, 1.0]]
+    )
+    with pytest.raises(Exception, match="dimension|ASSERT"):
+        index.search([1.0, 0.0, 5.0], top_k=2)
+
+
 def test_lsh_candidates_subset(spark, dense):
     """LSH top-k scores must equal exact cosine for every doc it returns
     (same-bucket candidates, exact scoring within)."""
