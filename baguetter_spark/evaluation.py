@@ -181,6 +181,19 @@ class EvalResult:
     report: dict[str, dict[str, float]]  # retriever -> metric -> value
     timings: dict[str, dict[str, float]]  # retriever -> {index_time, search_time}
 
+    def save(self, result_dir: str) -> None:
+        """Persist report + timings as JSON (reference eval.py:69-100 writes
+        report.json/timings.json; the xlsx/csv exports need openpyxl, which
+        the report JSON supersedes)."""
+        import json
+        import os
+
+        os.makedirs(result_dir, exist_ok=True)
+        with open(os.path.join(result_dir, "report.json"), "w") as f:
+            json.dump(self.report, f, indent=2, sort_keys=True)
+        with open(os.path.join(result_dir, "timings.json"), "w") as f:
+            json.dump(self.timings, f, indent=2, sort_keys=True)
+
 
 @dataclasses.dataclass
 class EvalResults:
@@ -188,6 +201,13 @@ class EvalResults:
 
     def add(self, dataset_name: str, result: EvalResult) -> None:
         self.results[dataset_name] = result
+
+    def save(self, result_dir: str) -> None:
+        """One subdirectory per dataset (reference eval.py:103-140)."""
+        import os
+
+        for name, res in self.results.items():
+            res.save(os.path.join(result_dir, name))
 
 
 def evaluate_retrievers(

@@ -164,3 +164,13 @@ def test_evaluate_retrievers_end_to_end(spark):
         assert 0.8 < r["ndcg@10"] <= 1.0
         assert res.timings[name]["index_time"] > 0
         assert res.timings[name]["search_time"] > 0
+
+    # persistence mirror (reference eval.py:69-140)
+    import json
+    import tempfile
+
+    out_dir = tempfile.mkdtemp()
+    results.save(out_dir)
+    with open(f"{out_dir}/mock/report.json") as f:
+        saved = json.load(f)
+    assert saved["bm25"]["mrr@10"] == pytest.approx(1.0)
