@@ -339,101 +339,161 @@ def bmx_score_queries(
         qterm_ids = [r["term_id"] for r in qterms.select("term_id").distinct().collect()]
         if len(qterm_ids) <= 10_000:
             postings = postings.where(F.col("term_id").isin(qterm_ids))
-    joined = postings.join(F.broadcast(qterms), "term_id").select(
-        "query_id", "tok_pos", "weight", "idf", "entropy", "n_tokens",
-        "n_postings", "doc_ids_delta", "tfs", "rel_lens",
-    )
 
     dt = cfg.dtype
-    flat_schema = (
-        "query_id string, tok_pos int, weight float, idf double, entropy double, "
-        "n_tokens int, doc_idx long, tf long, rel_len double"
-    )
-
-    def decode_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cols: dict[str, list] = {k: [] for k in (
-                "query_id", "tok_pos", "weight", "idf", "entropy", "n_tokens",
-                "doc_idx", "tf", "rel_len",
-            )}
-            for qid, pos, w, idf, ent, ntok, n, ids_buf, tf_buf, rel_buf in zip(
-                pdf["query_id"], pdf["tok_pos"], pdf["weight"], pdf["idf"],
-                pdf["entropy"], pdf["n_tokens"], pdf["n_postings"],
-                pdf["doc_ids_delta"], pdf["tfs"], pdf["rel_lens"],
-            ):
-                ids = decode_doc_ids(ids_buf, n)
-                tf_arr = decode_tfs(tf_buf, n)
-                rel = decode_impacts(rel_buf, dt).astype(np.float64)
-                cols["query_id"].append(np.full(n, qid, dtype=object))
-                cols["tok_pos"].append(np.full(n, pos, dtype=np.int32))
-                cols["weight"].append(np.full(n, w, dtype=np.float32))
-                cols["idf"].append(np.full(n, idf, dtype=np.float64))
-                cols["entropy"].append(np.full(n, ent, dtype=np.float64))
-                cols["n_tokens"].append(np.full(n, ntok, dtype=np.int32))
-                cols["doc_idx"].append(ids)
-                cols["tf"].append(tf_arr)
-                cols["rel_len"].append(rel)
-            yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
-
-    flat = joined.mapInPandas(decode_flat, schema=flat_schema)
-    flat = flat.join(F.broadcast(qscalars), "query_id")
-
-    # gather: per-(query, doc) token list -> BMX kernel fold.
-    # sims = |Q∩D|/|Q| falls out of the group size (one row per matched
-    # query-token occurrence), so no separate similarity pass is needed.
-    gathered = flat.groupBy(
-        "query_id", "doc_idx", "n_tokens", "ent_max", "avg_entropy"
-    ).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct("tok_pos", "weight", "tf", "rel_len", "idf", "entropy")
-            )
-        ).alias("toks")
-    )
-
     a64, b64 = float(alpha), float(beta)
-    parity_fold = parity
 
-    @F.pandas_udf("double")
-    def bmx_fold(
-        toks_s: pd.Series, ntok_s: pd.Series, entmax_s: pd.Series, avgent_s: pd.Series
-    ) -> pd.Series:
-        out = np.empty(len(toks_s), dtype=np.float64)
-        for i, (lst, ntok, emax, eavg) in enumerate(
-            zip(toks_s, ntok_s, entmax_s, avgent_s)
-        ):
-            tf = np.asarray([t["tf"] for t in lst], dtype=np.float64)
-            rel = np.asarray([t["rel_len"] for t in lst], dtype=np.float64)
-            idf = np.asarray([t["idf"] for t in lst], dtype=np.float64)
-            ent = np.asarray([t["entropy"] for t in lst], dtype=np.float64)
-            w = np.asarray([t["weight"] for t in lst], dtype=np.float64)
-            if parity_fold:
+    if not parity:
+        # FAST PATH — fully JVM-side gather.  The kernel's per-(query,doc)
+        # sum decomposes algebraically:
+        #     score = Σ_t w·idf·tfc  +  sim · β · Σ_t w·entnorm_t
+        # with sim = m/|Q| and m = the (query,doc) match count, so both Σ
+        # terms and m are plain SUM/COUNT aggregations — no collect_list,
+        # no per-group Python fold.  The decode UDF computes the two
+        # per-posting addends vectorized; Catalyst does the rest.
+        qterms_f = qterms.join(F.broadcast(qscalars), "query_id")
+        joined = postings.join(F.broadcast(qterms_f), "term_id").select(
+            "query_id", "weight", "idf", "entropy", "n_tokens",
+            "ent_max", "avg_entropy",
+            "n_postings", "doc_ids_delta", "tfs", "rel_lens",
+        )
+
+        parts_schema = (
+            "query_id string, doc_idx long, n_tokens int, "
+            "tf_part double, ent_part double"
+        )
+
+        def decode_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cols: dict[str, list] = {k: [] for k in (
+                    "query_id", "doc_idx", "n_tokens", "tf_part", "ent_part",
+                )}
+                for qid, w, idf, ent, ntok, emax, eavg, n, ids_buf, tf_buf, rel_buf in zip(
+                    pdf["query_id"], pdf["weight"], pdf["idf"], pdf["entropy"],
+                    pdf["n_tokens"], pdf["ent_max"], pdf["avg_entropy"],
+                    pdf["n_postings"], pdf["doc_ids_delta"], pdf["tfs"], pdf["rel_lens"],
+                ):
+                    ids = decode_doc_ids(ids_buf, n)
+                    tf = decode_tfs(tf_buf, n).astype(np.float64)
+                    rel = decode_impacts(rel_buf, dt).astype(np.float64)
+                    w64 = np.float64(w)
+                    tf_part = w64 * idf * (
+                        (tf * (a64 + 1.0)) / (tf + a64 * rel + a64 * eavg)
+                    )
+                    cols["query_id"].append(np.full(n, qid, dtype=object))
+                    cols["doc_idx"].append(ids)
+                    cols["n_tokens"].append(np.full(n, ntok, dtype=np.int32))
+                    cols["tf_part"].append(tf_part)
+                    cols["ent_part"].append(np.full(n, w64 * (ent / emax), dtype=np.float64))
+                yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+        parts = joined.mapInPandas(decode_parts, schema=parts_schema)
+        agg = parts.groupBy("query_id", "doc_idx", "n_tokens").agg(
+            F.sum("tf_part").alias("s_tf"),
+            F.sum("ent_part").alias("s_ent"),
+            F.count("*").alias("m"),
+        )
+        scores = agg.select(
+            "query_id",
+            "doc_idx",
+            "n_tokens",
+            (
+                F.col("s_tf")
+                + (F.col("m").cast("double") / F.col("n_tokens"))
+                * F.lit(b64)
+                * F.col("s_ent")
+            ).alias("score"),
+        )
+    else:
+        # PARITY PATH — float32 accumulation in query-token order, bit-equal
+        # to the reference kernel (scores[ids] += f64 semantics).
+        joined = postings.join(F.broadcast(qterms), "term_id").select(
+            "query_id", "tok_pos", "weight", "idf", "entropy", "n_tokens",
+            "n_postings", "doc_ids_delta", "tfs", "rel_lens",
+        )
+
+        flat_schema = (
+            "query_id string, tok_pos int, weight float, idf double, entropy double, "
+            "n_tokens int, doc_idx long, tf long, rel_len double"
+        )
+
+        def decode_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cols: dict[str, list] = {k: [] for k in (
+                    "query_id", "tok_pos", "weight", "idf", "entropy", "n_tokens",
+                    "doc_idx", "tf", "rel_len",
+                )}
+                for qid, pos, w, idf, ent, ntok, n, ids_buf, tf_buf, rel_buf in zip(
+                    pdf["query_id"], pdf["tok_pos"], pdf["weight"], pdf["idf"],
+                    pdf["entropy"], pdf["n_tokens"], pdf["n_postings"],
+                    pdf["doc_ids_delta"], pdf["tfs"], pdf["rel_lens"],
+                ):
+                    ids = decode_doc_ids(ids_buf, n)
+                    tf_arr = decode_tfs(tf_buf, n)
+                    rel = decode_impacts(rel_buf, dt).astype(np.float64)
+                    cols["query_id"].append(np.full(n, qid, dtype=object))
+                    cols["tok_pos"].append(np.full(n, pos, dtype=np.int32))
+                    cols["weight"].append(np.full(n, w, dtype=np.float32))
+                    cols["idf"].append(np.full(n, idf, dtype=np.float64))
+                    cols["entropy"].append(np.full(n, ent, dtype=np.float64))
+                    cols["n_tokens"].append(np.full(n, ntok, dtype=np.int32))
+                    cols["doc_idx"].append(ids)
+                    cols["tf"].append(tf_arr)
+                    cols["rel_len"].append(rel)
+                yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+        flat = joined.mapInPandas(decode_flat, schema=flat_schema)
+        flat = flat.join(F.broadcast(qscalars), "query_id")
+
+        # gather: per-(query, doc) token list -> BMX kernel fold.
+        # sims = |Q∩D|/|Q| falls out of the group size (one row per matched
+        # query-token occurrence), so no separate similarity pass is needed.
+        gathered = flat.groupBy(
+            "query_id", "doc_idx", "n_tokens", "ent_max", "avg_entropy"
+        ).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("tok_pos", "weight", "tf", "rel_len", "idf", "entropy")
+                )
+            ).alias("toks")
+        )
+
+        @F.pandas_udf("double")
+        def bmx_fold(
+            toks_s: pd.Series, ntok_s: pd.Series, entmax_s: pd.Series, avgent_s: pd.Series
+        ) -> pd.Series:
+            out = np.empty(len(toks_s), dtype=np.float64)
+            for i, (lst, ntok, emax, eavg) in enumerate(
+                zip(toks_s, ntok_s, entmax_s, avgent_s)
+            ):
+                tf = np.asarray([t["tf"] for t in lst], dtype=np.float64)
+                rel = np.asarray([t["rel_len"] for t in lst], dtype=np.float64)
+                idf = np.asarray([t["idf"] for t in lst], dtype=np.float64)
+                ent = np.asarray([t["entropy"] for t in lst], dtype=np.float64)
+                w = np.asarray([t["weight"] for t in lst], dtype=np.float64)
                 sim = np.float64(np.float32(len(lst)) / np.float32(int(ntok)))
-            else:
-                sim = len(lst) / float(ntok)
-            contrib = w * (
-                idf * ((tf * (a64 + 1.0)) / (tf + a64 * rel + a64 * eavg))
-                + sim * (ent / emax) * b64
-            )
-            if parity_fold:
+                contrib = w * (
+                    idf * ((tf * (a64 + 1.0)) / (tf + a64 * rel + a64 * eavg))
+                    + sim * (ent / emax) * b64
+                )
                 acc = np.float32(0.0)
                 for c in contrib:
                     acc = np.float32(np.float64(acc) + c)
                 out[i] = np.float64(acc)
-            else:
-                out[i] = contrib.sum()
-        return pd.Series(out)
+            return pd.Series(out)
 
-    scores = gathered.select(
-        "query_id",
-        "doc_idx",
-        "n_tokens",
-        bmx_fold(F.col("toks"), F.col("n_tokens"), F.col("ent_max"), F.col("avg_entropy")).alias(
-            "score"
-        ),
-    )
+        scores = gathered.select(
+            "query_id",
+            "doc_idx",
+            "n_tokens",
+            bmx_fold(
+                F.col("toks"), F.col("n_tokens"), F.col("ent_max"), F.col("avg_entropy")
+            ).alias("score"),
+        )
 
     from baguetter_spark.operators.search import per_query_topk
 
