@@ -20,7 +20,7 @@ inner-product -> the raw dot product.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _METRICS = ("cosine", "ip")
@@ -57,6 +57,11 @@ class DenseSparkIndex:
         self.use_lsh = use_lsh
         self.vectors: DataFrame | None = None
 
+    @property
+    def synthetic_turn_suffix(self) -> bool:
+        """False: dense doc ids are the caller's raw keys (no turn suffix)."""
+        return False
+
     # ------------------------------------------------------------------ build
     def build(self, vectors: DataFrame) -> DenseSparkIndex:
         """DataFrame-native build: (doc_id, vector)."""
@@ -90,10 +95,17 @@ class DenseSparkIndex:
         Broadcast the (small) query matrix across the embedding scan — one
         narrow stage, no shuffle until the per-query window top-k.
         """
+        if self.vectors is None:
+            msg = "DenseSparkIndex is empty: call build()/add_many() before searching"
+            raise RuntimeError(msg)
+        first = self.vectors.select("vector").first()
+        if first is None:
+            msg = "DenseSparkIndex has no vectors: add documents before searching"
+            raise RuntimeError(msg)
         q = queries.select("query_id", F.col("vector").cast("array<double>").alias("qvec"))
         # dimension guard: a mismatched query vector would otherwise produce
         # silent null scores (zip_with null-pads) — fail loudly instead
-        dim = len(self.vectors.select("vector").first()[0])
+        dim = len(first[0])
         q = q.withColumn(
             "__dimchk",
             F.assert_true(
@@ -114,21 +126,28 @@ class DenseSparkIndex:
             joined = self.vectors.crossJoin(F.broadcast(q))
 
         if self.metric == "cosine":
-            score = _dot(F.col("vector"), F.col("qvec")) / (
-                _norm(F.col("vector")) * _norm(F.col("qvec"))
+            # try_divide: a zero-norm doc/query vector yields NULL (ANSI mode
+            # would throw on 0/0; non-ANSI would yield NaN, which Spark ranks
+            # ABOVE every real number) — filtered out below
+            score = F.try_divide(
+                _dot(F.col("vector"), F.col("qvec")),
+                _norm(F.col("vector")) * _norm(F.col("qvec")),
             )
         else:  # ip
             score = _dot(F.col("vector"), F.col("qvec"))
 
         scored = joined.select("query_id", "doc_id", score.alias("score"))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= top_k)
-            .select("query_id", "rank", "doc_id", "score")
-        )
+        # drop zero-norm casualties instead of letting them poison the top-k
+        if self.metric == "cosine":
+            scored = scored.where(
+                F.col("score").isNotNull() & ~F.isnan(F.col("score"))
+            )
+        # two-phase rank-safe top-k (operators/search.per_query_topk): no
+        # full-partition window — hot-query straggler defense at 10^9 vectors
+        from baguetter_spark.operators.search import per_query_topk
+
+        topped = per_query_topk(scored, top_k, id_col="doc_id")
+        return topped.select("query_id", "rank", "doc_id", "score")
 
     def search_many(self, query_vectors: list[list[float]], *, top_k: int = 100):
         qdf = self.spark.createDataFrame(

@@ -39,6 +39,15 @@ class BM25SparkIndex:
         self.index: BM25Index | None = None
         self._corpus: pd.DataFrame | None = None  # driver-side (list-API mode only)
 
+    @property
+    def synthetic_turn_suffix(self) -> bool:
+        """True iff this index was built through the list API (add_many),
+        whose keys become ``key:0`` doc ids (one synthetic turn per key).
+        Consumers (MultiSparkIndex, SparkSearchEngine) use this to decide
+        whether a ``:0`` suffix is synthetic (strip to recover the user key)
+        or a real turn index of a DataFrame-built transcript corpus (keep)."""
+        return self._corpus is not None
+
     # ------------------------------------------------------------------ build
     def build(self, transcripts: DataFrame) -> BM25SparkIndex:
         """DataFrame-native build (the production entry point)."""
@@ -127,7 +136,11 @@ class BM25SparkIndex:
             pd.DataFrame({"query_id": [f"q{i}" for i in range(len(queries))], "text": queries})
         )
         res = self.score_queries(qdf, top_k=top_k)
-        return self._collect(res, [f"q{i}" for i in range(len(queries))], strip_turn=True)
+        return self._collect(
+            res,
+            [f"q{i}" for i in range(len(queries))],
+            strip_turn=self.synthetic_turn_suffix,
+        )
 
     def search_weighted(
         self, queries: list[str], query_weights: list[float], *, top_k: int = 100
@@ -144,7 +157,7 @@ class BM25SparkIndex:
             )
         )
         res = self.score_queries(qdf, top_k=top_k)
-        return self._collect(res, ["q0"], strip_turn=True)[0]
+        return self._collect(res, ["q0"], strip_turn=self.synthetic_turn_suffix)[0]
 
 
 class BMXSparkIndex(BM25SparkIndex):

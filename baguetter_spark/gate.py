@@ -812,14 +812,19 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM ranked WHERE r
 
 def _ann_lsh_sql() -> str:
     from baguetter_spark.operators.similarity import (
-        N_PLANES,
+        N_BANDS,
+        N_PLANES_PER_BAND,
         PLANE_A,
         PLANE_B,
         PLANE_MOD,
         PLANE_SHIFT,
     )
 
-    planes = ", ".join(f"({p}, {PLANE_A[p]}, {PLANE_B[p]})" for p in range(N_PLANES))
+    n_total = N_BANDS * N_PLANES_PER_BAND
+    planes = ", ".join(
+        f"({p // N_PLANES_PER_BAND}, {p % N_PLANES_PER_BAND}, {PLANE_A[p]}, {PLANE_B[p]})"
+        for p in range(n_total)
+    )
     return f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -827,22 +832,29 @@ WITH emb AS (
 flat AS (
   SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM emb
 ),
-planes(p, a, b) AS (VALUES {planes}),
+planes(band, r, a, b) AS (VALUES {planes}),
 proj AS (
-  SELECT vec_id, p, sum(x * (((a * d + b) % {PLANE_MOD}) - {PLANE_SHIFT})) AS pr
-  FROM flat CROSS JOIN planes GROUP BY vec_id, p
+  SELECT vec_id, band, r, sum(x * (((a * d + b) % {PLANE_MOD}) - {PLANE_SHIFT})) AS pr
+  FROM flat CROSS JOIN planes GROUP BY vec_id, band, r
 ),
 bucket AS (
-  SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-  FROM proj GROUP BY vec_id
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN pr > 0 THEN (1 << r) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, band
 ),
-eb AS (SELECT e.vec_id, e.v, b.bucket FROM emb e JOIN bucket b USING (vec_id)),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id IN ({', '.join(str(i) for i in EMB_QUERY_IDS)})),
+q AS (SELECT vec_id AS query_id, band, bucket FROM bucket
+      WHERE vec_id IN ({', '.join(str(i) for i in EMB_QUERY_IDS)})),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM bucket b JOIN q USING (band, bucket) WHERE b.vec_id <> q.query_id
+),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM emb
+       WHERE vec_id IN ({', '.join(str(i) for i in EMB_QUERY_IDS)})),
 pairs AS (
-  SELECT q.query_id, e.vec_id,
+  SELECT c.query_id, c.vec_id,
          round(list_dot_product(e.v, q.qv)
                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_r
-  FROM eb e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+  FROM cand c JOIN emb e ON e.vec_id = c.vec_id JOIN qv q ON q.query_id = c.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, cos_r,

@@ -72,25 +72,34 @@ class MultiSparkIndex:
         return self
 
     # ----------------------------------------------------------------- search
+    @property
+    def synthetic_turn_suffix(self) -> bool:
+        """False: score_queries already normalizes sub-run ids to user keys."""
+        return False
+
     def score_queries(self, queries: DataFrame, *, top_k: int = 100) -> DataFrame:
         """Fan out + fuse: each sub-index scores the whole batch; the union
         of runs feeds one fusion aggregation (reference mutli.py:172-203 →
         fuser.merge).
 
-        Doc identity across heterogeneous engines: sparse engines emit
-        ``conv_id:turn_idx`` ids while list-API engines (dense, doc-store)
-        emit raw keys; the reference's MultiIndex feeds every sub-index the
-        same keys so runs align by construction (mutli.py:105-121).  We
-        restore that alignment by stripping the synthetic ``:0`` turn suffix
-        uniformly from every run before fusing."""
+        Doc identity across heterogeneous engines: list-API sparse engines
+        emit synthetic ``key:0`` ids while dense/doc-store engines emit raw
+        keys; the reference's MultiIndex feeds every sub-index the same keys
+        so runs align by construction (mutli.py:105-121).  We restore that
+        alignment by stripping the ``:0`` suffix ONLY from runs whose
+        sub-index reports ``synthetic_turn_suffix`` (a blanket strip would
+        mangle real turn-0 ids of DataFrame-built transcript corpora and
+        collide them with raw keys — the ids of DataFrame-built sub-indices
+        are identical across engines already)."""
         runs = None
         for name, idx in self.indices.items():
             r = idx.score_queries(queries, top_k=top_k).withColumn("run", F.lit(name))
+            if getattr(idx, "synthetic_turn_suffix", False):
+                r = r.withColumn("doc_id", F.regexp_replace("doc_id", ":0$", ""))
             runs = r if runs is None else runs.unionByName(r)
         if runs is None:
             msg = "MultiSparkIndex has no sub-indices"
             raise ValueError(msg)
-        runs = runs.withColumn("doc_id", F.regexp_replace("doc_id", ":0$", ""))
         return fuse(
             runs.select("query_id", "run", "doc_id", "score"),
             self.algorithm,
@@ -115,8 +124,8 @@ class MultiSparkIndex:
         out = []
         for i in range(len(queries)):
             entries = sorted(by_q[f"q{i}"])
-            keys = [d[:-2] if d.endswith(":0") else d for _, d, _ in entries]
-            out.append((keys, [s for _, _, s in entries]))
+            # doc_ids are already normalized per-run in score_queries
+            out.append(([d for _, d, _ in entries], [s for _, _, s in entries]))
         return out
 
     def search(self, query: str, *, top_k: int = 100):
@@ -150,6 +159,12 @@ class SparkSearchEngine:
     def name(self) -> str:
         return self._name
 
+    def _spark(self) -> SparkSession:
+        spark = getattr(self.index, "spark", None)
+        if spark is None and isinstance(self.index, MultiSparkIndex):
+            spark = next(iter(self.index.indices.values())).spark
+        return spark
+
     def build(self, transcripts: DataFrame) -> SparkSearchEngine:
         self.index.build(transcripts)
         self.store = transcripts.select(
@@ -162,9 +177,12 @@ class SparkSearchEngine:
 
     def add_many(self, keys: list[str], values: list[str]) -> SparkSearchEngine:
         self.index.add_many(keys, values)
-        spark = self.index.spark
+        spark = self._spark()
+        # store keys must match the ids the index EMITS: list-API sparse
+        # engines emit synthetic ``key:0``; Multi/dense engines emit raw keys
+        suffix = ":0" if getattr(self.index, "synthetic_turn_suffix", False) else ""
         new = spark.createDataFrame(
-            pd.DataFrame({"doc_id": [f"{k}:0" for k in keys], "value": values})
+            pd.DataFrame({"doc_id": [f"{k}{suffix}" for k in keys], "value": values})
         )
         self.store = (
             new
@@ -189,7 +207,7 @@ class SparkSearchEngine:
         )
 
     def search_many(self, queries: list[str], *, top_k: int = 100):
-        spark = self.index.spark
+        spark = self._spark()
         qdf = spark.createDataFrame(
             pd.DataFrame(
                 {"query_id": [f"q{i}" for i in range(len(queries))], "text": queries}
@@ -199,12 +217,16 @@ class SparkSearchEngine:
         by_q: dict[str, list] = {f"q{i}": [] for i in range(len(queries))}
         for r in rows:
             by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"], r["value"]))
+        strip = getattr(self.index, "synthetic_turn_suffix", False)
         out = []
         for i, q in enumerate(queries):
             entries = sorted(by_q[f"q{i}"])
             result = {
                 "query": q,
-                "keys": [d[:-2] if d.endswith(":0") else d for _, d, _, _ in entries],
+                "keys": [
+                    d[:-2] if strip and d.endswith(":0") else d
+                    for _, d, _, _ in entries
+                ],
                 "scores": [s for _, _, s, _ in entries],
                 "values": [v for _, _, _, v in entries],
             }

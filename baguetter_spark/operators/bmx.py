@@ -136,13 +136,37 @@ def build_bmx_index(
             vals = vals.astype(np.float32).astype(np.float64)
         return pd.Series(vals)
 
-    # per-term entropy: -sum(p * ln p), p = sigmoid(tf) — float64 JVM-side
-    # elementwise, distributed sum (index.py:175-176; order-independent to
-    # float64 round-off, invisible after the float32 score rounding)
-    p = 1.0 / (1.0 + F.exp(-F.col("tf").cast("double")))
-    ent = tf.join(vocab_base.select("term", "term_id"), "term").groupBy(
-        "term_id"
-    ).agg((-F.sum(p * F.log(p))).alias("entropy"))
+    # per-term entropy: -sum(p * ln p), p = sigmoid(tf)  (index.py:175-176).
+    # Parity (f32) mode replicates the reference's docID-ordered numpy
+    # pairwise sum bit-for-bit (a distributed f64 SUM is partitioning-order
+    # dependent at the last ulp, which would make the bit-exact parity suite
+    # flaky); per-term group size = df, fine at parity-test scale.  The f64
+    # scale path keeps the skew-safe distributed JVM sum — the ulp wobble is
+    # invisible after the gate's 4-dp rounding.
+    if is_f32:
+
+        def ent_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_idx")
+            tf_arr = pdf["tf"].to_numpy(dtype=np.int64)
+            p_arr = 1.0 / (1.0 + np.exp(-tf_arr))
+            return pd.DataFrame(
+                {
+                    "term_id": [int(pdf["term_id"].iloc[0])],
+                    "entropy": [float(-np.sum(p_arr * np.log(p_arr)))],
+                }
+            )
+
+        ent = (
+            tf.join(vocab_base.select("term", "term_id"), "term")
+            .select("term_id", "doc_idx", "tf")
+            .groupBy("term_id")
+            .applyInPandas(ent_kernel, schema="term_id long, entropy double")
+        )
+    else:
+        p = 1.0 / (1.0 + F.exp(-F.col("tf").cast("double")))
+        ent = tf.join(vocab_base.select("term", "term_id"), "term").groupBy(
+            "term_id"
+        ).agg((-F.sum(p * F.log(p))).alias("entropy"))
 
     vocab = (
         vocab_base.withColumn("idf", idf_udf(F.col("df")))
@@ -265,6 +289,7 @@ def bmx_score_queries(
     top_k: int = 100,
     parity: bool = True,
     normalize: bool | None = None,
+    empty_query: str = "empty",
 ) -> DataFrame:
     """Batch BMX search -> results(query_id, rank, doc_id, score).
 
@@ -272,8 +297,10 @@ def bmx_score_queries(
     (index.py:105-148) runs per (query, doc) group in the gather fold
     because sims / entropy normalization are query-dependent.
 
-    Divergence (documented): empty / fully-OOV queries return 0 rows; the
-    reference returns ``zeros(top_k), arange(top_k)`` (index.py:63-65).
+    ``empty_query="empty"`` (default) returns only matched docs;
+    ``"reference"`` pads every query to exactly min(top_k, n_docs) rows with
+    zero-score docs — the reference's ``zeros(top_k), arange(top_k)``
+    contract (index.py:63-65), made deterministic (lowest doc ids).
     """
     cfg = index.config
     is_f32 = cfg.dtype == "float32"
@@ -521,4 +548,9 @@ def bmx_score_queries(
 
     if is_f32:
         topk = topk.withColumn("score", F.col("score").cast("float"))
-    return topk.select("query_id", "rank", "doc_id", "score")
+    res = topk.select("query_id", "rank", "doc_idx", "doc_id", "score")
+    if empty_query == "reference":
+        from baguetter_spark.operators.search import pad_to_k
+
+        res = pad_to_k(res, queries, index.doc_map, top_k, cfg.dtype)
+    return res.select("query_id", "rank", "doc_id", "score")

@@ -25,8 +25,11 @@ Two scoring modes:
 Tie handling: the reference's argpartition tie order is nondeterministic, so
 we define the canonical total order (score desc, doc_idx asc) — SURVEY §4.2.6.
 
-Divergence (documented): empty/fully-OOV queries return 0 rows here; the
-reference returns k arbitrary zero-score docs (SURVEY §4.2.7).
+Empty/fully-OOV queries: by default they return 0 rows; with
+``empty_query="reference"`` every query is padded to exactly k rows with
+zero-score docs, matching the reference's always-k contract
+(index.py:176-185 + utils/numpy_utils.py:63-73 — its pad docs are
+argpartition-arbitrary; ours are the deterministic lowest doc ids).
 """
 
 from __future__ import annotations
@@ -43,19 +46,16 @@ from baguetter_spark.config import SparseIndexConfig
 from baguetter_spark.functions.preprocess import tokens_udf
 from baguetter_spark.operators.indexer import BM25Index
 
-# Query-count score normalization (reference bm25.py:14-20, Q6)
-_NORM_SQL = {
-    "lucene": "log(1.0 + (n_tokens - 0.5) / 1.5)",
-    "robertson": "log(1.0 + (n_tokens - 0.5) / 1.5)",
-    "atire": "log(cast(n_tokens as double))",
-    "bm25l": "log((n_tokens + 1.0) / 1.5)",
-    "bm25plus": "log(n_tokens + 1.0)",
-}
 
-
-def per_query_topk(scores: DataFrame, top_k: int) -> DataFrame:
-    """(query_id, doc_idx, score) -> rows with rank <= top_k per query,
-    canonical tie order (score desc, doc_idx asc).
+def per_query_topk(
+    scores: DataFrame,
+    top_k: int,
+    *,
+    id_col: str = "doc_idx",
+    score_col: str = "score",
+) -> DataFrame:
+    """(query_id, <id_col>, <score_col>) -> rows with rank <= top_k per
+    query, canonical tie order (score desc, id asc).
 
     Two-phase: a partition-local top-k first, then the global window.  The
     naive `row_number() OVER (PARTITION BY query_id)` funnels EVERY candidate
@@ -63,21 +63,28 @@ def per_query_topk(scores: DataFrame, top_k: int) -> DataFrame:
     candidates, which is a guaranteed straggler/OOM at scale.  The local
     phase bounds the window's input to k rows per (query, partition); it is
     rank-safe because any global top-k row is also in its own partition's
-    top-k under the same total order.
+    top-k under the same total order.  The local pruner folds ALL Arrow
+    batches of a partition into one bounded accumulator (k rows per query at
+    any time) so the per-(query, partition) bound holds regardless of how
+    many batches the partition yields.
     """
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(
-                ["query_id", "score", "doc_idx"], ascending=[True, False, True]
+            merged = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            merged = merged.sort_values(
+                ["query_id", score_col, id_col], ascending=[True, False, True]
             )
-            yield pdf.groupby("query_id", sort=False).head(top_k)
+            acc = merged.groupby("query_id", sort=False).head(top_k)
+        if acc is not None:
+            yield acc
 
     pruned = scores.mapInPandas(local_topk, schema=scores.schema)
     w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_idx").asc()
+        F.col(score_col).desc(), F.col(id_col).asc()
     )
     return pruned.withColumn("rank", F.row_number().over(w_rank)).where(
         F.col("rank") <= top_k
@@ -119,16 +126,34 @@ def score_queries(
     parity: bool = True,
     normalize: bool | None = None,
     pruned: bool = False,
+    empty_query: str = "empty",
 ) -> DataFrame:
     """Returns results(query_id, rank, doc_id, score) — canonical tie order.
 
     ``pruned=True`` routes through the rank-safe block-max MaxScore kernel
     (wand.py) instead of exhaustive scoring; implies ``parity=False`` score
     arithmetic (float64) but identical doc sets/ranks (property-tested).
+
+    ``empty_query``: "empty" (default) returns only matched docs; "reference"
+    pads every query to exactly min(top_k, n_docs) rows with zero-score docs
+    (deterministic lowest doc ids), matching the reference's always-k result
+    shape (index.py:176-185).
     """
     cfg = index.config
     dtype = cfg.dtype
     normalize = cfg.normalize_scores if normalize is None else normalize
+    if empty_query not in ("empty", "reference"):
+        msg = f"empty_query must be 'empty' or 'reference', got {empty_query!r}"
+        raise ValueError(msg)
+    if pruned and "weight" in queries.columns:
+        # Rank-safety guard: MaxScore's suffix bound assumes every term's
+        # contribution is bounded ABOVE by its max impact, which a negative
+        # weight inverts (a candidate's partial score can DECREASE later, so
+        # θ is no longer a valid cutoff).  Fall back to exhaustive scoring.
+        # The check is one scalar agg over the (tiny) query table.
+        min_w = queries.agg(F.min("weight")).collect()[0][0]
+        if min_w is not None and float(min_w) < 0.0:
+            pruned = False
     if pruned:
         parity = False
 
@@ -318,4 +343,53 @@ def score_queries(
             "score", norm_udf(F.col("score"), F.col("n_tokens"))
         )
 
-    return topk.select("query_id", "rank", "doc_id", "score")
+    res = topk.select("query_id", "rank", "doc_idx", "doc_id", "score")
+    if empty_query == "reference":
+        res = pad_to_k(res, queries, index.doc_map, top_k, dtype)
+    return res.select("query_id", "rank", "doc_id", "score")
+
+
+def pad_to_k(
+    res: DataFrame,
+    queries: DataFrame,
+    doc_map: DataFrame,
+    top_k: int,
+    dtype: str,
+) -> DataFrame:
+    """Pad every query's results to exactly min(top_k, n_docs) rows with
+    zero-score docs (reference always-k contract, index.py:176-185; the
+    reference's pad docs are argpartition-arbitrary — ours are the
+    deterministic lowest doc ids not already in the results).
+
+    The pad pool is the first 2*top_k docs by doc_idx: real results can
+    occupy at most top_k of them, leaving >= top_k pads for any query — a
+    small broadcastable constant table regardless of corpus size.
+    """
+    score_t = "float" if dtype == "float32" else "double"
+    pool = (
+        doc_map.select("doc_idx", "doc_id")
+        .orderBy("doc_idx")
+        .limit(2 * top_k)
+    )
+    pads = (
+        queries.select("query_id")
+        .distinct()
+        .crossJoin(F.broadcast(pool))
+        .join(res.select("query_id", "doc_idx"), ["query_id", "doc_idx"], "left_anti")
+        .select(
+            "query_id",
+            "doc_idx",
+            "doc_id",
+            F.lit(0.0).cast(score_t).alias("score"),
+        )
+    )
+    unioned = res.select("query_id", "doc_idx", "doc_id", "score").unionByName(pads)
+    # bounded re-rank: <= 3*top_k rows per query enter the window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_idx").asc()
+    )
+    return (
+        unioned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_idx", "doc_id", "score")
+    )

@@ -2,14 +2,19 @@
 
 - brute-force cosine top-k: JVM-side ``zip_with``/``aggregate`` dot products
   against a broadcast query set — the exact baseline;
-- LSH-bucketed ANN: deterministic random-hyperplane sign buckets (integer
-  pseudo-noise planes so the DuckDB oracle reproduces them exactly), exact
-  cosine within candidate buckets — the scale path (bucket join instead of
-  the full cross product).
+- banded-LSH ANN: deterministic random-hyperplane sign buckets (integer
+  pseudo-noise planes so the DuckDB oracle reproduces them exactly),
+  OR-amplified across ``n_bands`` bands of ``n_planes`` planes each —
+  candidates = union over bands of same-bucket matches, then exact cosine.
 
 Scale notes: brute force is O(Q x N) — fine for small Q with a broadcast
-query matrix; at 10^9+ vectors the LSH variant turns it into a per-bucket
-join.  The reference's dense indexes (usearch/faiss HNSW,
+query matrix; at 10^9+ vectors the LSH variant turns it into per-bucket
+joins.  Banding controls recall: P(candidate) = 1 - (1 - p^r)^b with
+p = 1 - theta/pi per plane, so more bands raise recall (OR-amplification)
+while more planes per band sharpen precision (fewer candidates per bucket).
+Both final rankings run through the two-phase ``per_query_topk`` (no
+full-partition window — hot-query straggler defense at 10^9 vectors).
+The reference's dense indexes (usearch/faiss HNSW,
 `baguetter/indices/dense/usearch.py:47-417`) are native ANN libraries; this
 is the Spark-native equivalent slot (MultiIndex-compatible by producing the
 same results shape).
@@ -17,14 +22,27 @@ same results shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_PLANES = 8
-PLANE_A = [3 * p + 1 for p in range(N_PLANES)]
-PLANE_B = [7 * p + 3 for p in range(N_PLANES)]
+from baguetter_spark.operators.search import per_query_topk
+
+# Deterministic integer pseudo-noise hyperplanes: plane p, dim d has weight
+# ((A[p]*d + B[p]) % 97) - 48 in [-48, 48].  MAX_PLANES bounds the global
+# plane table; bands slice it as planes [band*n_planes, (band+1)*n_planes).
+MAX_PLANES = 64
+PLANE_A = [3 * p + 1 for p in range(MAX_PLANES)]
+PLANE_B = [7 * p + 3 for p in range(MAX_PLANES)]
 PLANE_MOD = 97
-PLANE_SHIFT = 48  # plane[d] = ((a*d + b) % 97) - 48  in [-48, 48]
+PLANE_SHIFT = 48
+
+# Defaults for the gate/fixture scale: 8 bands x 4 planes -> for a pair at
+# cosine ~0.8 (theta ~0.64 rad, p ~0.8) P(candidate) = 1-(1-0.8^4)^8 ~ 0.98.
+N_BANDS = 8
+N_PLANES_PER_BAND = 4
+
+# Backward-compat: the round-1 single-band bucket width.
+N_PLANES = 8
 
 
 def _dot(a, b):
@@ -61,26 +79,24 @@ def cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.round(cos, 6).alias("cos_r"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cos_r")
+    topped = per_query_topk(scored, k, id_col="vec_id", score_col="cos_r")
+    return topped.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_r"
     )
 
 
-def lsh_bucket(vec_col, dim: int):
-    """Sign-bucket id over N_PLANES deterministic integer hyperplanes:
-    bucket = sum_p 2^p * [dot(plane_p, v) > 0]."""
+def lsh_bucket(vec_col, dim: int, *, band: int = 0, n_planes: int = N_PLANES):
+    """Sign-bucket id over ``n_planes`` deterministic integer hyperplanes
+    (band ``band`` uses global planes [band*n_planes, (band+1)*n_planes)):
+    bucket = sum_r 2^r * [dot(plane, v) > 0]."""
     def _plane_term(a, b):
         return lambda x, d: x * (
             (F.lit(a) * d + F.lit(b)) % F.lit(PLANE_MOD) - F.lit(PLANE_SHIFT)
         ).cast("double")
 
     bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
+    for r in range(n_planes):
+        p = band * n_planes + r
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -90,8 +106,34 @@ def lsh_bucket(vec_col, dim: int):
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket + F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0)).cast("long")
     return bucket
+
+
+def lsh_band_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    *,
+    n_bands: int = N_BANDS,
+    n_planes: int = N_PLANES_PER_BAND,
+) -> DataFrame:
+    """Explode each row into ``n_bands`` (band, bucket) rows — the banded
+    signature table.  One narrow projection per band; no shuffle."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(F.col(vec_col), dim, band=b, n_planes=n_planes).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.withColumn("__bb", F.explode(bands)).select(
+        "*", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    ).drop("__bb")
 
 
 def ann_lsh_topk(
@@ -102,34 +144,38 @@ def ann_lsh_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_bands: int = N_BANDS,
+    n_planes: int = N_PLANES_PER_BAND,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane sign
-    bucket; exact cosine within the bucket.  Deterministic (integer planes);
-    recall < 1 by design — the oracle computes the identical procedure."""
+    """Approximate top-k with recall control: a vector is a candidate for a
+    query iff they share a bucket in ANY band (OR-amplification); exact
+    cosine over the deduplicated candidate set.  Deterministic (integer
+    planes); the oracle computes the identical procedure."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    emb_b = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    q = emb_b.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("bucket"),
+    emb_b = lsh_band_buckets(emb, "vec", dim, n_bands=n_bands, n_planes=n_planes)
+    q_b = emb_b.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
     )
-    joined = emb_b.join(F.broadcast(q), "bucket").where(
-        F.col("vec_id") != F.col("query_id")
+    # candidate ids: same (band, bucket) in any band, deduplicated — ids
+    # only, so the shuffle/distinct never carries vectors
+    cand = (
+        emb_b.select("vec_id", "band", "bucket")
+        .join(F.broadcast(q_b), ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
+    qvecs = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    joined = cand.join(emb, "vec_id").join(F.broadcast(qvecs), "query_id")
     cos = _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))
-    scored = joined.select(
-        "query_id", "vec_id", F.round(cos, 6).alias("cos_r")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cos_r")
+    scored = joined.select("query_id", "vec_id", F.round(cos, 6).alias("cos_r"))
+    topped = per_query_topk(scored, k, id_col="vec_id", score_col="cos_r")
+    return topped.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_r"
     )

@@ -129,3 +129,32 @@ def test_ann_lsh_subset_of_brute(spark):
     for r in ann:
         assert full[(r["query_id"], r["vec_id"])] == r["cos_r"]
     assert len(ann) >= 1
+
+
+def test_ann_recall_clustered(spark):
+    """Banded OR-amplification recall control (VERDICT next-round #3):
+    clustered vectors (20 clusters x 10 points, sigma=0.15), recall@10 vs
+    brute force must average >= 0.9 over 5 queries."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(20, 16))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            v = centers[c] + 0.15 * rng.normal(size=16)
+            rows.append((vid, v.tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 30, 60, 90, 120]
+    brute = cosine_topk(emb, qids, k=10).collect()
+    ann = ann_lsh_topk(emb, qids, k=10, dim=16).collect()
+    b: dict = {}
+    for r in brute:
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+    a: dict = {}
+    for r in ann:
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(b[q] & a.get(q, set())) / len(b[q]) for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

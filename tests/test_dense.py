@@ -115,3 +115,21 @@ def test_hybrid_with_multi_index(spark):
     assert res, "hybrid fusion returned rows"
     best = min(res, key=lambda r: r["rank"])
     assert best["doc_id"] == "d1"
+
+
+def test_empty_index_raises(spark):
+    index = DenseSparkIndex(spark)
+    with pytest.raises(RuntimeError, match="empty"):
+        index.search([1.0, 0.0], top_k=2)
+
+
+def test_zero_norm_vector_excluded(spark):
+    """A zero-norm doc vector makes cosine NaN; Spark ranks NaN above every
+    real score — it must be dropped, not returned at rank 1."""
+    index = DenseSparkIndex(spark).add_many(
+        ["z", "a", "b"], [[0.0, 0.0], [1.0, 0.0], [0.7, 0.7]]
+    )
+    keys, scores = index.search([1.0, 0.0], top_k=3)
+    assert "z" not in keys
+    assert keys[0] == "a"
+    assert all(s == s for s in scores)  # no NaN survives

@@ -120,3 +120,46 @@ def test_search_engine_post_process_hook(spark):
     engine.add_many(CORPUS_KEYS, CORPUS_TEXTS)
     res = engine.search("posting compression", top_k=3)
     assert res["scores"] == sorted(res["scores"])  # ascending after reversal
+
+
+def test_search_engine_over_multi_index(spark, engines):
+    """SparkSearchEngine composed over MultiSparkIndex (ADVICE multi.py:93):
+    the fused run emits raw user keys (synthetic :0 stripped per sub-index),
+    so the store must hydrate every one of them."""
+    bm25, bmx = engines
+    multi = MultiSparkIndex({"bm25": bm25, "bmx": bmx}, algorithm="comb_sum")
+    engine = SparkSearchEngine(multi)
+    engine.add_many(CORPUS_KEYS, CORPUS_TEXTS)
+    res = engine.search("posting compression spark", top_k=4)
+    assert res["keys"], "fused search must return rows"
+    text_by_key = dict(zip(CORPUS_KEYS, CORPUS_TEXTS))
+    for k, v in zip(res["keys"], res["values"]):
+        assert v == text_by_key[k], f"hydration missed key {k!r}"
+
+
+def test_dataframe_built_multi_keeps_turn_ids(spark):
+    """DataFrame-built sub-indices emit REAL conv:turn ids — a blanket :0
+    strip would mangle turn-0 ids (c:0 -> c) while c:1 keeps its suffix.
+    With per-sub-index key-style tracking, both turns survive intact."""
+    import pandas as pd
+
+    from baguetter_spark.fixtures import gen_transcripts
+
+    corpus = gen_transcripts(40, 8, seed=23, vocab_size=60)
+    cfg = SparseIndexConfig(preprocessor=TextPreprocessorConfig.parity())
+    bm25 = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(corpus))
+    assert not bm25.synthetic_turn_suffix
+    multi = MultiSparkIndex({"bm25": bm25}, algorithm="comb_sum")
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q0"], "text": ["term00001 term00002 the spark"]})
+    )
+    res = multi.score_queries(qdf, top_k=20).collect()
+    assert res
+    doc_ids = {r["doc_id"] for r in res}
+    # every fused id must be a real (conv_id, turn_idx) composite
+    assert all(":" in d for d in doc_ids), doc_ids
+    direct = {
+        r["doc_id"]
+        for r in bm25.score_queries(qdf, top_k=20, parity=False).collect()
+    }
+    assert doc_ids == direct

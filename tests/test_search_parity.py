@@ -178,3 +178,43 @@ def test_normalized_scores_parity(spark):
     o = dict(zip(okeys, oscores))
     for k in e:
         assert e[k] == o[k], (k, e[k], o[k])
+
+
+def test_empty_query_reference_mode(spark):
+    """empty_query='reference': every query padded to exactly k rows with
+    deterministic zero-score docs (reference always-k contract,
+    index.py:176-185); default mode returns 0 rows for an all-OOV query."""
+    from baguetter_spark.operators.search import score_queries
+
+    cfg = SparseIndexConfig(preprocessor=TextPreprocessorConfig.parity())
+    corpus = gen_transcripts(30, 6, seed=3, vocab_size=50)
+    engine = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(corpus))
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": ["qoov", "qok"],
+                "text": ["zzoov1 zzoov2", "term00001 the"],
+            }
+        )
+    )
+    k = 5
+    default = score_queries(engine.index, qdf, top_k=k, parity=False).collect()
+    assert not [r for r in default if r["query_id"] == "qoov"]
+
+    padded = score_queries(
+        engine.index, qdf, top_k=k, parity=False, empty_query="reference"
+    ).collect()
+    by_q: dict = {}
+    for r in padded:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in ("qoov", "qok"):
+        rows = sorted(by_q[q], key=lambda r: r["rank"])
+        assert len(rows) == k, (q, len(rows))
+        assert [r["rank"] for r in rows] == list(range(1, k + 1))
+    # the all-OOV query gets the deterministic lowest doc ids, score 0
+    oov = sorted(by_q["qoov"], key=lambda r: r["rank"])
+    assert all(float(r["score"]) == 0.0 for r in oov)
+    # real matches of qok keep their scores and outrank any pads
+    ok = sorted(by_q["qok"], key=lambda r: r["rank"])
+    scores = [float(r["score"]) for r in ok]
+    assert scores == sorted(scores, reverse=True)

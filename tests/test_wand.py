@@ -85,3 +85,31 @@ def test_spark_pruned_equals_exhaustive(spark):
     for k_ in f:
         assert f[k_][0] == p[k_][0], (k_, f[k_], p[k_])
         assert abs(f[k_][1] - p[k_][1]) < 1e-6
+
+
+def test_negative_weight_pruned_falls_back(spark):
+    """MaxScore's suffix bound is invalid under negative weights (a partial
+    score can DECREASE later).  pruned=True must detect the negative weight
+    and fall back to exhaustive scoring — results identical to parity=False."""
+    import pandas as pd
+
+    corpus = gen_transcripts(100, 12, seed=5, vocab_size=150)
+    cfg = SparseIndexConfig(
+        preprocessor=TextPreprocessorConfig.parity(), block_doc_range=32
+    )
+    index = build_index(spark, spark.createDataFrame(corpus), cfg)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": ["q0", "q0"],
+                "part": [0, 1],
+                "text": ["term00001 term00002 spark", "term00003 the hot01"],
+                "weight": [1.0, -2.0],
+            }
+        )
+    )
+    fast = score_queries(index, qdf, top_k=10, parity=False).collect()
+    pruned = score_queries(index, qdf, top_k=10, pruned=True).collect()
+    f = {(r["query_id"], r["doc_id"]): (r["rank"], round(float(r["score"]), 9)) for r in fast}
+    p = {(r["query_id"], r["doc_id"]): (r["rank"], round(float(r["score"]), 9)) for r in pruned}
+    assert f == p
