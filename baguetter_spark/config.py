@@ -25,11 +25,15 @@ class TextPreprocessorConfig:
     """Mirror of the reference preprocessor config
     (`baguetter/indices/sparse/text_preprocessor/text_processor.py:84-109`).
 
-    ``tokenizer`` supports "whitespace" (``str.split`` semantics).  The nltk
-    tokenizers ("word", "wordpunct", "sent") are not available offline; we
-    raise on them.  ``stemmer`` supports "english" (vendored Snowball/Porter2)
-    or None.  ``stopwords`` supports "english" (vendored nltk list), a set,
-    or None.
+    ``tokenizer`` supports "whitespace" (``str.split`` semantics) and
+    "wordpunct" (nltk WordPunctTokenizer regex, vendored); the nltk
+    "word"/"sent" tokenizers need trained punkt models and raise offline.
+    ``stemmer`` supports "english" (vendored Snowball/Porter2), "german",
+    "french", "spanish" (vendored from the published Snowball specs), or
+    None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
+    None.  ``do_diacritics_normalization`` (engine extension, default off —
+    the reference ships ``normalize_diacritics`` but never wires it into its
+    pipeline) ASCII-folds diacritics after special-chars normalization.
     """
 
     tokenizer: str = "whitespace"
@@ -40,6 +44,7 @@ class TextPreprocessorConfig:
     do_special_chars_normalization: bool = True
     do_acronyms_normalization: bool = True
     do_punctuation_removal: bool = True
+    do_diacritics_normalization: bool = False
 
     @classmethod
     def parity(cls) -> TextPreprocessorConfig:

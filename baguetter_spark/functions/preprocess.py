@@ -47,8 +47,19 @@ if TYPE_CHECKING:
 _SPECIAL_CHARS_TRANS = str.maketrans("‘’´“”–-", "'''\"\"--")  # noqa: RUF001
 _PUNCT_TRANS = str.maketrans(string.punctuation, " " * len(string.punctuation))
 _ACRONYM_RE = re.compile(r"\.(?!(\S[^. ])|\d)")
+# nltk WordPunctTokenizer semantics (reference tokenizer.py:15): runs of
+# word chars or runs of non-word non-space chars
+_WORDPUNCT_RE = re.compile(r"\w+|[^\w\s]+")
 
-_SUPPORTED_TOKENIZERS = ("whitespace",)
+# "word"/"sent" need nltk's trained punkt models — not reproducible offline;
+# "wordpunct" is a pure regex and is implemented here.
+_SUPPORTED_TOKENIZERS = ("whitespace", "wordpunct")
+
+# Latin-script fallbacks NFKD decomposition can't strip (unidecode-style)
+_DIACRITIC_EXTRA = str.maketrans(
+    {"ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
+     "þ": "th", "ł": "l", "ħ": "h", "ı": "i"}
+)
 
 
 # --- individual steps (exact reference I/O; tested against the reference's
@@ -79,11 +90,27 @@ def strip_whitespaces(text: str) -> str:
     return " ".join(text.split())
 
 
+def normalize_diacritics(text: str) -> str:
+    """ASCII-fold diacritics (reference ``normalize_diacritics``,
+    normalization.py:46-56, which uses unidecode).  Offline substitute:
+    NFKD decomposition + combining-mark strip (exact for Latin diacritics:
+    é→e, ü→u, ñ→n) plus a small table for non-decomposable Latin letters
+    (ß→ss, œ→oe, ...).  Non-Latin scripts pass through unchanged (unidecode
+    would transliterate them — documented divergence)."""
+    import unicodedata
+
+    text = text.translate(_DIACRITIC_EXTRA)
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
+    )
+
+
 def _resolve(cfg: TextPreprocessorConfig):
     if cfg.tokenizer not in _SUPPORTED_TOKENIZERS:
         msg = (
             f"Tokenizer {cfg.tokenizer!r} not supported offline "
-            f"(reference nltk tokenizers unavailable; use 'whitespace')."
+            f"(the nltk 'word'/'sent' tokenizers need trained punkt models; "
+            f"use 'whitespace' or 'wordpunct')."
         )
         raise ValueError(msg)
     stopword_set: frozenset[str] | None
@@ -111,12 +138,16 @@ def make_processor(cfg: TextPreprocessorConfig | None = None) -> Callable[[str],
             text = text.replace("&", " and ")
         if cfg.do_special_chars_normalization:
             text = text.translate(_SPECIAL_CHARS_TRANS)
+        if getattr(cfg, "do_diacritics_normalization", False):
+            text = normalize_diacritics(text)
         if cfg.do_acronyms_normalization:
             text = _ACRONYM_RE.sub("", text)
         if cfg.do_punctuation_removal:
             text = text.translate(_PUNCT_TRANS)
             # strip_whitespaces is a no-op under str.split() semantics
-        tokens = text.split()
+        tokens = (
+            text.split() if cfg.tokenizer == "whitespace" else _WORDPUNCT_RE.findall(text)
+        )
         if stopword_set is not None:
             tokens = [t for t in tokens if t not in stopword_set]
         if stemmer is not None:
@@ -126,10 +157,12 @@ def make_processor(cfg: TextPreprocessorConfig | None = None) -> Callable[[str],
     return process
 
 
-# Worker-global stem cache: token distributions are Zipfian, so memoizing
-# stems removes almost all stemmer invocations; the dict lives for the
-# lifetime of the (reused) Python worker process, shared across Arrow batches.
-_STEM_CACHE: dict[str, str] = {}
+# Worker-global stem caches: token distributions are Zipfian, so memoizing
+# stems removes almost all stemmer invocations; the dicts live for the
+# lifetime of the (reused) Python worker process, shared across Arrow
+# batches.  Keyed by stemmer function — two indices with different stemmer
+# languages in the same worker must not share entries.
+_STEM_CACHES: dict[object, dict[str, str]] = {}
 
 
 def _stem_tokens_cached(
@@ -166,16 +199,21 @@ def process_series(s: pd.Series, cfg: TextPreprocessorConfig | None = None) -> p
         s = s.str.replace("&", " and ", regex=False)
     if cfg.do_special_chars_normalization:
         s = s.str.translate(_SPECIAL_CHARS_TRANS)
+    if getattr(cfg, "do_diacritics_normalization", False):
+        s = s.map(normalize_diacritics)
     if cfg.do_acronyms_normalization:
         s = s.str.replace(_ACRONYM_RE, "", regex=True)
     if cfg.do_punctuation_removal:
         s = s.str.translate(_PUNCT_TRANS)
-    toks = s.str.split()  # str.split() semantics: any whitespace run, no empties
+    if cfg.tokenizer == "whitespace":
+        toks = s.str.split()  # str.split() semantics: any whitespace run, no empties
+    else:  # wordpunct
+        toks = s.str.findall(_WORDPUNCT_RE)
     if stopword_set is not None:
         sw = stopword_set
         toks = toks.map(lambda ts: [t for t in ts if t not in sw])
     if stemmer is not None:
-        toks = _stem_tokens_cached(toks, stemmer, _STEM_CACHE)
+        toks = _stem_tokens_cached(toks, stemmer, _STEM_CACHES.setdefault(stemmer, {}))
         # stemming can in principle produce empty tokens; T10 drops them
         toks = toks.map(lambda ts: [t for t in ts if t])
     return toks

@@ -273,10 +273,29 @@ def stem(word: str) -> str:
 
 
 def get_stemmer(name: str | None):
-    """Resolve a stemmer name (mirrors reference ``get_stemmer``)."""
+    """Resolve a stemmer name (mirrors reference ``get_stemmer``,
+    stemmer.py:51-90; the vendored languages cover the reference registry's
+    most-used Snowball entries — others need native nltk/PyStemmer and
+    raise offline)."""
     if name is None:
         return None
-    if name.lower() in ("english", "en", "porter2", "snowball"):
+    n = name.lower()
+    if n in ("english", "en", "porter2", "snowball"):
         return stem
-    msg = f"Stemmer {name!r} not supported (offline sandbox vendors only 'english')."
+    if n in ("german", "de"):
+        from baguetter_spark.functions.snowball_de import stem as stem_de
+
+        return stem_de
+    if n in ("french", "fr"):
+        from baguetter_spark.functions.snowball_fr import stem as stem_fr
+
+        return stem_fr
+    if n in ("spanish", "es"):
+        from baguetter_spark.functions.snowball_es import stem as stem_es
+
+        return stem_es
+    msg = (
+        f"Stemmer {name!r} not supported offline "
+        f"(vendored: english, german, french, spanish)."
+    )
     raise ValueError(msg)

@@ -54,7 +54,6 @@ from baguetter_spark.config import SparseIndexConfig
 from baguetter_spark.operators.indexer import (
     docs_from_transcripts,
     exploded_terms,
-    indexed_keys,
 )
 from baguetter_spark.operators.search import tokenize_queries
 from baguetter_spark.operators.zipindex import zip_with_index
@@ -97,8 +96,15 @@ def build_bmx_index(
     min_df = int(config.min_df)
     is_f32 = config.dtype == "float32"
 
-    keys = indexed_keys(transcripts)
     # shuffle_hash: avoid the SMJ string-sort of the text side (see indexer.py)
+    keys_frame = docs_from_transcripts(transcripts).select(
+        "conv_id", "turn_idx", "doc_id"
+    )
+    keys_full, kstats = zip_with_index(
+        keys_frame, ["conv_id", "turn_idx"], "doc_idx", extra_sums={}
+    )
+    n_docs = kstats["count"]  # piggybacked on the zipindex counts pass
+    keys = keys_full
     docs = (
         docs_from_transcripts(transcripts)
         .select("conv_id", "turn_idx", "text")
@@ -116,13 +122,18 @@ def build_bmx_index(
     )
 
     # vocabulary: sorted rank over terms with df >= min_df (CountVectorizer
-    # min_df semantics, index.py:211-218; unlike BM25, min_df IS applied)
+    # min_df semantics, index.py:211-218; unlike BM25, min_df IS applied).
+    # ttf (sum tf of KEPT terms) rides the zipindex counts pass -> total_len
+    # of the min_df-filtered doc-term matrix with no extra job.
     term_stats = (
-        tf.groupBy("term").agg(F.count("*").alias("df")).where(F.col("df") >= min_df)
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+        .where(F.col("df") >= min_df)
     ).persist()
-    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
-
-    n_docs = keys.count()
+    vocab_base, vstats = zip_with_index(
+        term_stats, ["term"], "term_id", extra_sums={"total_len": "ttf"}
+    )
+    total_len = int(vstats["total_len"])
 
     @F.pandas_udf("double")
     def idf_udf(df_s: pd.Series) -> pd.Series:
@@ -185,8 +196,6 @@ def build_bmx_index(
         .fillna(0, subset=["doc_len"])
         .persist()
     )
-    row = doc_map.agg(F.sum("doc_len").alias("t")).collect()[0]
-    total_len = int(row["t"] or 0)
     avg_doc_len = (
         _avg_doc_len_f32_emulated(total_len, n_docs)
         if is_f32

@@ -288,10 +288,10 @@ def term_frequencies(docs_tok: DataFrame) -> DataFrame:
     return doc_terms.groupBy("doc_idx", "doc_len", "term").agg(F.count("*").alias("tf"))
 
 
-def build_vocab(
-    tf: DataFrame, n_docs: int, avg_doc_len: float, config: SparseIndexConfig
+def vocab_scores(
+    vocab_base: DataFrame, n_docs: int, avg_doc_len: float, config: SparseIndexConfig
 ) -> DataFrame:
-    """Sorted-rank term ids (B2) + df (B4) + idf/nonoccurrence (B6/B10).
+    """Attach idf/nonoccurrence columns (B6/B10) to a ranked vocab frame.
 
     idf/nonoccurrence are stored as DOUBLE columns; in float32 mode values
     are rounded to float32 first (the reference stores idf into a float32
@@ -300,12 +300,6 @@ def build_vocab(
     k1, b, delta = config.k1, config.b, config.delta
     needs_nonocc = method in NON_OCCURRENCE_METHODS
     is_f32 = config.dtype == "float32"
-
-    # persist the (small) term aggregate: zip_with_index evaluates its input
-    # for range sampling + counts + assignment — without this, the full
-    # explode/groupBy over billions of postings would run three times
-    term_stats = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
-    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
 
     @F.pandas_udf("double")
     def idf_udf(df_s: pd.Series) -> pd.Series:
@@ -328,6 +322,18 @@ def build_vocab(
         nonocc_udf(F.col("df")) if needs_nonocc else F.lit(None).cast("double"),
     )
     return vocab.select("term_id", "term", "df", "idf", "nonoccurrence")
+
+
+def build_vocab(
+    tf: DataFrame, n_docs: int, avg_doc_len: float, config: SparseIndexConfig
+) -> DataFrame:
+    """Sorted-rank term ids (B2) + df (B4) + idf/nonoccurrence (B6/B10)."""
+    # persist the (small) term aggregate: zip_with_index evaluates its input
+    # for range sampling + counts + assignment — without this, the full
+    # explode/groupBy over billions of postings would run three times
+    term_stats = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
+    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
+    return vocab_scores(vocab_base, n_docs, avg_doc_len, config)
 
 
 def impacts_flat(
@@ -387,55 +393,107 @@ def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
     config: SparseIndexConfig | None = None,
+    *,
+    assume_sorted: bool = False,
 ) -> BM25Index:
     """Build the full BM25 index from a transcripts DataFrame (in-session
-    caching; for the checkpoint-resumable variant see io.build_index_resumable)."""
+    caching; for the checkpoint-resumable variant see io.build_index_resumable).
+
+    ``assume_sorted=True``: the input is expected partition-ordered by
+    (conv_id, turn_idx) — the natural state of an Iceberg/parquet table
+    sorted on its key.  The build then VERIFIES the ordering with one narrow
+    pass and assigns doc ids with NO shuffle, fusing assignment into the
+    tokenizer's Arrow pass (operators/presorted.py); the corpus text never
+    crosses a shuffle before the TF aggregation.  Falls back to the general
+    range-shuffle path automatically if verification fails — results are
+    digest-identical either way (differentially tested).
+
+    Driver-side scalar stats (n_docs, total_len, total_postings) piggyback
+    on the zipWithIndex counts passes instead of separate jobs — the fixed
+    per-build job count is 2 scheduled scans lower than a naive plan, which
+    matters for scaling-efficiency at small-N (BENCH/BASELINE.md).
+    """
     config = config or SparseIndexConfig()
 
-    keys = indexed_keys(transcripts)
-    # shuffle_hash: without the hint this compiles to a sort-merge join that
-    # fully SORTS the text side by its string key — pure overhead, since the
-    # text only needs to MEET its doc_idx, not be ordered by conv_id.  SHJ
-    # shuffles both sides (the text moves exactly once either way) and
-    # builds the hash table on the narrow key side.
-    docs = (
-        docs_from_transcripts(transcripts)
-        .select("conv_id", "turn_idx", "text")
-        .join(
-            keys.select("conv_id", "turn_idx", "doc_idx").hint("shuffle_hash"),
-            ["conv_id", "turn_idx"],
+    layout = None
+    if assume_sorted:
+        from baguetter_spark.operators.presorted import partition_layout
+
+        layout = partition_layout(transcripts)
+
+    if layout is not None:
+        from baguetter_spark.operators.presorted import (
+            presorted_exploded_terms,
+            presorted_keys,
         )
-        .select("doc_idx", "text")
-    )
+
+        n_docs = layout.n_rows
+        keys = presorted_keys(transcripts, layout)
+        flat_terms = presorted_exploded_terms(transcripts, layout, config)
+    else:
+        # shuffle_hash: without the hint this compiles to a sort-merge join
+        # that fully SORTS the text side by its string key — pure overhead,
+        # since the text only needs to MEET its doc_idx, not be ordered by
+        # conv_id.  SHJ shuffles both sides (the text moves exactly once
+        # either way) and builds the hash table on the narrow key side.
+        keys_frame = docs_from_transcripts(transcripts).select(
+            "conv_id", "turn_idx", "doc_id"
+        )
+        keys_full, kstats = zip_with_index(
+            keys_frame, ["conv_id", "turn_idx"], "doc_idx", extra_sums={}
+        )
+        n_docs = kstats["count"]
+        keys = keys_full.select("doc_idx", "doc_id")
+        docs = (
+            docs_from_transcripts(transcripts)
+            .select("conv_id", "turn_idx", "text")
+            .join(
+                keys_full.select("conv_id", "turn_idx", "doc_idx").hint("shuffle_hash"),
+                ["conv_id", "turn_idx"],
+            )
+            .select("doc_idx", "text")
+        )
+        flat_terms = exploded_terms(docs, config)
+
     # tf is the one heavy intermediate; everything downstream (doc lengths,
-    # corpus stats, vocabulary, impacts) derives from it, so the corpus
-    # crosses the tokenizer exactly once
+    # vocabulary, impacts) derives from it, so the corpus crosses the
+    # tokenizer exactly once
     tf = (
-        exploded_terms(docs, config)
-        .groupBy("doc_idx", "doc_len", "term")
+        flat_terms.groupBy("doc_idx", "doc_len", "term")
         .agg(F.count("*").alias("tf"))
         .persist()
     )
 
+    # vocabulary term ids + the global scalar stats in ONE pass: ttf (total
+    # tokens of the term) sums to total_len, df sums to total_postings —
+    # both ride the zipindex counts job instead of separate driver actions
+    term_stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ttf")
+    ).persist()
+    vocab_base, vstats = zip_with_index(
+        term_stats, ["term"], "term_id", extra_sums={"total_len": "ttf", "total_postings": "df"}
+    )
+    total_postings = int(vstats["total_postings"])
+    # float64 avg over exact int64 sum — bit-equal to the reference's
+    # float(np.mean(...)) for integer lengths (see corpus_stats)
+    avg_doc_len = float(vstats["total_len"]) / n_docs if n_docs else 0.0
+
+    vocab = vocab_scores(
+        vocab_base.select("term_id", "term", "df"), n_docs, avg_doc_len, config
+    ).cache()
+    flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)
+
     # doc_map: doc_len = sum(tf) per doc (== token count); empty docs get 0.
-    # Built from the NARROW key frame — no second pass over the text.
+    # Built from the NARROW key frame — no second pass over the text; lazy
+    # (materialized by the first search/save, not on the build critical path).
     doc_lens = tf.groupBy("doc_idx").agg(F.sum("tf").cast("int").alias("doc_len"))
     doc_map = (
-        keys.select("doc_idx", "doc_id")
-        .join(doc_lens, "doc_idx", "left")
-        .fillna(0, subset=["doc_len"])
-        .persist()
+        keys.join(doc_lens, "doc_idx", "left").fillna(0, subset=["doc_len"]).persist()
     )
-    n_docs, avg_doc_len = corpus_stats(doc_map)
-
-    vocab = build_vocab(tf, n_docs, avg_doc_len, config).cache()
-    flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)
 
     # Persisted: an index is built once and searched many times; at cluster
     # scale this is a parquet write (io.save_index) instead of a cache.
     postings = assemble_posting_blocks(flat, config).persist()
-
-    total_postings = int(vocab.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0)
 
     return BM25Index(
         doc_map=doc_map,

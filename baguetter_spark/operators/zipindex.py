@@ -33,11 +33,18 @@ def zip_with_index(
     index_col: str,
     *,
     num_partitions: int | None = None,
-) -> DataFrame:
+    extra_sums: dict[str, str] | None = None,
+):
     """Add a dense 0-based ``index_col`` ranking rows by ``order_cols``.
 
     The order defined by ``order_cols`` must be total (no duplicate keys) for
     the result to be deterministic.
+
+    ``extra_sums`` ({out_name: column_name}) piggybacks global scalar SUMs
+    onto the pass-1 counts job (summed per partition, combined driver-side)
+    so callers don't pay a separate Spark job + barrier per scalar stat.
+    When provided, returns ``(df, stats)`` where stats holds each requested
+    sum plus the total row count under ``"count"``; otherwise returns df.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     parts = int(parts)
@@ -55,10 +62,11 @@ def zip_with_index(
         StorageLevel.MEMORY_AND_DISK
     )
     # Pass 1: per-partition counts -> driver-side prefix sums (#partitions rows)
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    }
+    agg_exprs = [F.count("*").alias("__cnt")] + [
+        F.sum(c).alias(f"__s_{k}") for k, c in (extra_sums or {}).items()
+    ]
+    pass1 = with_pid.groupBy("__pid").agg(*agg_exprs).collect()
+    counts = {r["__pid"]: r["__cnt"] for r in pass1}
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -85,4 +93,10 @@ def zip_with_index(
             local += len(pdf)
             yield pdf
 
-    return with_pid.mapInPandas(assign, schema=out_schema).drop("__pid")
+    result = with_pid.mapInPandas(assign, schema=out_schema).drop("__pid")
+    if extra_sums is None:
+        return result
+    stats: dict[str, int] = {"count": int(acc)}
+    for k in extra_sums:
+        stats[k] = int(sum((r[f"__s_{k}"] or 0) for r in pass1))
+    return result, stats
