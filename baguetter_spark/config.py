@@ -76,6 +76,9 @@ class SparseIndexConfig:
     alpha: float | None = None
     beta: float | None = None
     normalize_scores: bool = False
+    # robertson idf only: permit negative idf for df > n/2 terms instead of
+    # clamping at 0 (reference scoring.py:167-172 allow_negative)
+    allow_negative: bool = False
     preprocessor: TextPreprocessorConfig = dataclasses.field(
         default_factory=TextPreprocessorConfig
     )

@@ -209,10 +209,10 @@ def doc_tf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def postings_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-term posting-list digest: df, docID range, head of the docID-sorted
-    list — checks CSC ordering invariants (B11) through the codec."""
-    index = gate_index(spark, sf_dir, "lucene")
+def postings_digest_of(index: BM25Index) -> DataFrame:
+    """Per-term posting-list digest of ANY index: df, docID range, head of
+    the docID-sorted list — checks CSC ordering invariants (B11) through the
+    codec.  Shared by the direct, merge and resume gate rows."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from baguetter_spark.compress import decode_doc_ids
@@ -245,6 +245,10 @@ def postings_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(index.vocab.select("term_id", "term"), "term_id").select(
         "term", F.col("df2").alias("df"), "min_doc", "max_doc", "head_docs"
     )
+
+
+def postings_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return postings_digest_of(gate_index(spark, sf_dir, "lucene"))
 
 
 # --- SQL side --------------------------------------------------------------
@@ -1021,8 +1025,10 @@ def gate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for op in ("union", "intersect", "diff"):
         q[f"postings_{op}"] = setops_query(op)
     from baguetter_spark.gate2 import gate2_queries
+    from baguetter_spark.gate3 import gate3_queries
 
     q.update(gate2_queries())
+    q.update(gate3_queries())
     return q
 
 
@@ -1055,6 +1061,8 @@ def gate_oracle_sql() -> dict[str, str]:
     for op in ("union", "intersect", "diff"):
         s[f"postings_{op}"] = SETOPS_SQL[op]
     from baguetter_spark.gate2 import gate2_oracle_sql
+    from baguetter_spark.gate3 import gate3_oracle_sql
 
     s.update(gate2_oracle_sql())
+    s.update(gate3_oracle_sql())
     return s

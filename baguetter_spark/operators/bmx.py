@@ -237,24 +237,18 @@ def build_bmx_index(
 
 def _assemble_bmx_blocks(flat: DataFrame, config: SparseIndexConfig) -> DataFrame:
     """(term_id, doc_idx, tf, rel_len) -> encoded blocks; same doc-range
-    bounding as the BM25 assembly (hot-term skew defense, indexer.py)."""
+    bounding as the BM25 assembly (hot-term skew defense) and the same
+    streaming physical strategy (repartition + Tungsten sort + one flat
+    Arrow pass over consecutive key runs; see indexer.assemble_posting_blocks)."""
     block_range = config.block_doc_range
     dtype = config.dtype
     np_dtype = np.float32 if dtype == "float32" else np.float64
 
-    grouped = (
+    parts = int(flat.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (
         flat.withColumn("block_id", (F.col("doc_idx") / F.lit(block_range)).cast("long"))
-        .groupBy("term_id", "block_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_idx", "tf", "rel_len"))).alias("plist")
-        )
-        .select(
-            "term_id",
-            "block_id",
-            F.transform("plist", lambda x: x["doc_idx"]).alias("doc_ids"),
-            F.transform("plist", lambda x: x["tf"]).alias("tfs_arr"),
-            F.transform("plist", lambda x: x["rel_len"]).alias("rels_arr"),
-        )
+        .repartition(parts, "term_id", "block_id")
+        .sortWithinPartitions("term_id", "block_id", "doc_idx")
     )
 
     out_schema = (
@@ -262,33 +256,55 @@ def _assemble_bmx_blocks(flat: DataFrame, config: SparseIndexConfig) -> DataFram
         "tfs binary, rel_lens binary"
     )
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def encode_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        held: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            tid = pdf["term_id"].to_numpy(dtype=np.int64)
+            bid = pdf["block_id"].to_numpy(dtype=np.int64)
+            ids_all = pdf["doc_idx"].to_numpy(dtype=np.int64)
+            tf_all = pdf["tf"].to_numpy(dtype=np.int64)
+            rel_all = pdf["rel_len"].to_numpy(dtype=np_dtype)
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (bid[1:] != bid[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
             rows = []
-            for term_id, block_id, doc_ids, tfs, rels in zip(
-                pdf["term_id"], pdf["block_id"], pdf["doc_ids"], pdf["tfs_arr"], pdf["rels_arr"]
-            ):
-                ids = np.asarray(doc_ids, dtype=np.int64)
-                tf_arr = np.asarray(tfs, dtype=np.int64)
-                rel_arr = np.asarray(rels, dtype=np_dtype)
+            for s, e in zip(starts, ends):
                 rows.append(
                     (
-                        term_id,
-                        block_id,
-                        len(ids),
-                        encode_doc_ids(ids),
-                        encode_tfs(tf_arr),
-                        encode_impacts(rel_arr, dtype),
+                        int(tid[s]),
+                        int(bid[s]),
+                        int(e - s),
+                        encode_doc_ids(ids_all[s:e]),
+                        encode_tfs(tf_all[s:e]),
+                        encode_impacts(rel_all[s:e], dtype),
                     )
                 )
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 rows,
                 columns=[
                     "term_id", "block_id", "n_postings", "doc_ids_delta", "tfs", "rel_lens",
                 ],
             )
 
-    return grouped.mapInPandas(encode, schema=out_schema)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+            last_t = pdf["term_id"].iloc[-1]
+            last_b = pdf["block_id"].iloc[-1]
+            tail_mask = (pdf["term_id"] == last_t) & (pdf["block_id"] == last_b)
+            n_tail = int(tail_mask.sum())
+            if n_tail == len(pdf):
+                held = pdf
+                continue
+            held = pdf.iloc[len(pdf) - n_tail :].reset_index(drop=True)
+            yield emit(pdf.iloc[: len(pdf) - n_tail])
+        if held is not None and len(held):
+            yield emit(held)
+
+    return arranged.mapInPandas(encode_runs, schema=out_schema)
 
 
 def bmx_score_queries(

@@ -32,6 +32,7 @@ MH_B = [1000003 * (i + 1) % MH_P for i in range(N_HASHES)]
 SH_BITS = 32
 SH_A = 2654435761  # Knuth multiplicative constant
 SH_B = 40503
+SH_BANDS = 4  # 4 bands x 8 bits: pigeonhole-complete for Hamming <= 3
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -201,4 +202,51 @@ def simhash(docs: DataFrame, vocab: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, vocab: DataFrame, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation is Hamming-ball banding: the 32-bit fingerprint
+    splits into SH_BANDS=4 bands of 8 bits; two fingerprints within Hamming
+    distance 3 must agree EXACTLY on at least one band (pigeonhole), so the
+    band-equality join finds every such pair with no all-pairs comparison —
+    the same bucketed shape as MinHash LSH, so it scales the same way.
+    (For max_hamming > SH_BANDS - 1 the banding is a recall-heuristic, not
+    complete.)  Candidates are verified with the exact popcount of the XOR.
+    """
+    fp = simhash(docs, vocab)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftright(F.col("simhash"), 8 * b) % 256).alias("bval"),
+            )
+            for b in range(SH_BANDS)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

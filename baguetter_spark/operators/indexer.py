@@ -55,15 +55,21 @@ from baguetter_spark.operators.zipindex import zip_with_index
 # ---------------------------------------------------------------------------
 
 
-def idf_values(df: np.ndarray, n_docs: int, idf_method: str) -> np.ndarray:
+def idf_values(
+    df: np.ndarray, n_docs: int, idf_method: str, *, allow_negative: bool = False
+) -> np.ndarray:
     """Vectorized IDF in float64 (reference computes with math.log then stores
-    float32; scoring.py:39-58,167-192). Returns float64 — caller casts."""
+    float32; scoring.py:39-58,167-192). Returns float64 — caller casts.
+
+    ``allow_negative`` (robertson only, scoring.py:167-172): skip the
+    clamp-at-1 so df > n/2 terms get negative idf."""
     df = df.astype(np.float64)
     n = float(n_docs)
     if idf_method in ("lucene", "robertson"):
         inner = (n - df + 0.5) / (df + 0.5)
         if idf_method == "robertson":
-            inner = np.maximum(inner, 1.0)
+            if not allow_negative:
+                inner = np.maximum(inner, 1.0)
             return np.log(inner)
         return np.log(1.0 + inner)
     if idf_method == "atire":
@@ -300,17 +306,18 @@ def vocab_scores(
     k1, b, delta = config.k1, config.b, config.delta
     needs_nonocc = method in NON_OCCURRENCE_METHODS
     is_f32 = config.dtype == "float32"
+    allow_neg = bool(getattr(config, "allow_negative", False))
 
     @F.pandas_udf("double")
     def idf_udf(df_s: pd.Series) -> pd.Series:
-        vals = idf_values(df_s.to_numpy(), n_docs, idf_method)
+        vals = idf_values(df_s.to_numpy(), n_docs, idf_method, allow_negative=allow_neg)
         if is_f32:
             vals = vals.astype(np.float32).astype(np.float64)
         return pd.Series(vals)
 
     @F.pandas_udf("double")
     def nonocc_udf(df_s: pd.Series) -> pd.Series:
-        idf64 = idf_values(df_s.to_numpy(), n_docs, idf_method)
+        idf64 = idf_values(df_s.to_numpy(), n_docs, idf_method, allow_negative=allow_neg)
         vals = nonoccurrence_values(idf64, avg_doc_len, k1, b, delta, method)
         if is_f32:
             vals = vals.astype(np.float32).astype(np.float64)
@@ -420,6 +427,13 @@ def build_index(
         from baguetter_spark.operators.presorted import partition_layout
 
         layout = partition_layout(transcripts)
+        if layout is not None and layout.n_rows > 0:
+            # Under-partitioned input (e.g. one giant parquet row group)
+            # would serialize the whole tokenize stage onto the few
+            # populated partitions — the shuffle path parallelizes better.
+            par = spark.sparkContext.defaultParallelism
+            if len(layout.offsets) < max(2, par // 2):
+                layout = None
 
     if layout is not None:
         from baguetter_spark.operators.presorted import (
@@ -516,7 +530,99 @@ def assemble_posting_blocks(
     bounded rows).  Arrays are docID-ascending within a block; ascending
     blocks concatenate into the full docID-sorted posting list (reference
     CSC invariant, index.py:133-147).
+
+    Physical strategy: repartition on (term_id, block_id) — the same
+    shuffle the aggregation needs — then a Tungsten sortWithinPartitions
+    and ONE streaming Arrow pass that encodes consecutive key runs with
+    numpy.  This replaces the earlier collect_list(struct) + sort_array +
+    triple transform plan: no JVM object-array buildup, no per-group sort,
+    and the Python boundary carries flat primitive columns instead of
+    nested arrays.  Groups can span Arrow batches; the encoder holds back
+    each batch's trailing run and stitches it to the next (runs never span
+    partitions — the hash repartition guarantees that).
     """
+    block_range = config.block_doc_range
+    sub = config.sub_block_size
+    dtype = config.dtype
+    np_dtype = np.float32 if dtype == "float32" else np.float64
+
+    parts = int(postings_flat.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (
+        postings_flat.withColumn(
+            "block_id", (F.col("doc_idx") / F.lit(block_range)).cast("long")
+        )
+        .repartition(parts, "term_id", "block_id")
+        .sortWithinPartitions("term_id", "block_id", "doc_idx")
+    )
+
+    out_schema = (
+        "term_id long, block_id long, n_postings int, doc_ids_delta binary, "
+        "impacts_f32 binary, tfs binary, block_max float, sub_block_max array<float>"
+    )
+
+    def encode_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        held: pd.DataFrame | None = None  # trailing (possibly incomplete) run
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            tid = pdf["term_id"].to_numpy(dtype=np.int64)
+            bid = pdf["block_id"].to_numpy(dtype=np.int64)
+            ids_all = pdf["doc_idx"].to_numpy(dtype=np.int64)
+            tf_all = pdf["tf"].to_numpy(dtype=np.int64)
+            imp_all = pdf["impact"].to_numpy(dtype=np_dtype)
+            # boundaries of consecutive (term_id, block_id) runs
+            change = np.flatnonzero((tid[1:] != tid[:-1]) | (bid[1:] != bid[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            rows = []
+            for s, e in zip(starts, ends):
+                ids = ids_all[s:e]
+                imp = imp_all[s:e]
+                sbm = sub_block_maxes(imp, sub)
+                rows.append(
+                    (
+                        int(tid[s]),
+                        int(bid[s]),
+                        int(e - s),
+                        encode_doc_ids(ids),
+                        encode_impacts(imp, dtype),
+                        encode_tfs(tf_all[s:e]),
+                        float(imp.max()),
+                        sbm.tolist(),
+                    )
+                )
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "term_id", "block_id", "n_postings", "doc_ids_delta",
+                    "impacts_f32", "tfs", "block_max", "sub_block_max",
+                ],
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if held is not None:
+                pdf = pd.concat([held, pdf], ignore_index=True)
+            last_t = pdf["term_id"].iloc[-1]
+            last_b = pdf["block_id"].iloc[-1]
+            tail_mask = (pdf["term_id"] == last_t) & (pdf["block_id"] == last_b)
+            n_tail = int(tail_mask.sum())
+            if n_tail == len(pdf):
+                held = pdf  # whole batch is one run — keep accumulating
+                continue
+            held = pdf.iloc[len(pdf) - n_tail :].reset_index(drop=True)
+            yield emit(pdf.iloc[: len(pdf) - n_tail])
+        if held is not None and len(held):
+            yield emit(held)
+
+    return arranged.mapInPandas(encode_runs, schema=out_schema)
+
+
+def assemble_posting_blocks_collect(
+    postings_flat: DataFrame, config: SparseIndexConfig
+) -> DataFrame:
+    """Aggregation-based assembly (collect_list + sort_array) — kept as the
+    reference plan for differential testing of the streaming encoder."""
     block_range = config.block_doc_range
     sub = config.sub_block_size
     dtype = config.dtype

@@ -40,7 +40,9 @@ def get_transcripts_path() -> str:
 
         t0 = time.time()
         pdf = gen_transcripts(N_TURNS, seed=42, vocab_size=20_000)
-        pdf.to_parquet(path, index=False)
+        # many row groups = realistic sorted-table layout (presorted path
+        # needs populated scan splits; see scripts/bench_scaling.py)
+        pdf.to_parquet(path, index=False, row_group_size=15_000)
         log(f"generated {N_TURNS} synthetic turns in {time.time()-t0:.1f}s")
     return path
 
@@ -79,6 +81,7 @@ def main() -> None:
     cfg_docs = SparseIndexConfig(preprocessor=GATE_PREPROCESSOR)
     idx_docs = build_index(spark, documents_as_transcripts(spark, sf_dir), cfg_docs)
     n_blocks = idx_docs.postings.count()
+    idx_docs.doc_map.count()  # materialize the full index (doc_map is lazy now)
     timings["index_build_documents"] = time.time() - t0
     log(f"documents index: {idx_docs.n_docs} docs, {idx_docs.total_postings} postings, {n_blocks} blocks")
 
@@ -89,11 +92,22 @@ def main() -> None:
     cfg_tr = SparseIndexConfig(preprocessor=TextPreprocessorConfig())  # stem+stopwords
     idx_tr = build_index(spark, transcripts, cfg_tr)
     idx_tr.postings.count()
+    idx_tr.doc_map.count()
     dt = time.time() - t0
     timings["index_build_transcripts"] = dt
     extras["turns_per_sec"] = round(N_TURNS / dt, 1)
     extras["n_turns"] = N_TURNS
     log(f"transcripts index: {idx_tr.n_docs} docs, {idx_tr.total_postings} postings, {extras['turns_per_sec']} turns/s")
+
+    # --- q2b: same build through the shuffle-free presorted path ------------
+    t0 = time.time()
+    idx_sorted = build_index(spark, transcripts, cfg_tr, assume_sorted=True)
+    idx_sorted.postings.count()
+    idx_sorted.doc_map.count()
+    dt = time.time() - t0
+    timings["index_build_transcripts_sorted"] = dt
+    extras["turns_per_sec_sorted"] = round(N_TURNS / dt, 1)
+    log(f"sorted-path index: {extras['turns_per_sec_sorted']} turns/s")
 
     # --- q3/q4: batch search fast + parity ----------------------------------
     qpdf = gen_queries(N_QUERIES, seed=5, vocab_size=20_000)

@@ -7,8 +7,12 @@ measured core count — otherwise a local[8] run's Python UDF workers would
 silently borrow the machine's idle cores and understate the true 4x speedup.
 Results go to BENCH/BASELINE.md.
 
-Usage: python scripts/bench_scaling.py [n_turns] [N]
-Self-mode (internal): python scripts/bench_scaling.py --one <cores> <tpath> <n_turns>
+Usage: python scripts/bench_scaling.py [n_turns] [N] [trials] [mode]
+  mode: "sorted" (default — build_index(assume_sorted=True), the production
+        path for an Iceberg/parquet table sorted by its key; the build
+        VERIFIES the ordering and falls back if it doesn't hold) or
+        "general" (range-shuffle zipWithIndex path).
+Self-mode (internal): python scripts/bench_scaling.py --one <cores> <tpath> <n_turns> <mode>
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 
-def run_build_once(cores: int, tpath: str, n_turns: int) -> None:
+def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> None:
     """Child mode: one pinned measurement, prints seconds on stdout."""
     from pyspark.sql import SparkSession
 
@@ -55,21 +59,25 @@ def run_build_once(cores: int, tpath: str, n_turns: int) -> None:
     warm.mapInPandas(_noop, schema="conv_id string").count()
     t0 = time.time()
     idx = build_index(
-        spark, transcripts, SparseIndexConfig(preprocessor=TextPreprocessorConfig())
+        spark,
+        transcripts,
+        SparseIndexConfig(preprocessor=TextPreprocessorConfig()),
+        assume_sorted=(mode == "sorted"),
     )
     idx.postings.count()
+    idx.doc_map.count()  # materialize the full index, not just postings
     dt = time.time() - t0
     spark.stop()
     print(json.dumps({"seconds": dt}))
 
 
-def measure(cores: int, tpath: str, n_turns: int) -> float:
+def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> float:
     cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
         [
             "taskset", "-c", cpu_list,
             sys.executable, os.path.abspath(__file__),
-            "--one", str(cores), tpath, str(n_turns),
+            "--one", str(cores), tpath, str(n_turns), mode,
         ],
         capture_output=True,
         text=True,
@@ -83,12 +91,14 @@ def measure(cores: int, tpath: str, n_turns: int) -> float:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
-        run_build_once(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        mode = sys.argv[5] if len(sys.argv) > 5 else "sorted"
+        run_build_once(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), mode)
         return
 
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    mode = sys.argv[4] if len(sys.argv) > 4 else "sorted"
 
     cache_dir = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -96,7 +106,12 @@ def main() -> None:
     if not os.path.exists(tpath):
         from baguetter_spark.fixtures import gen_transcripts
 
-        gen_transcripts(n_turns, seed=42, vocab_size=20_000).to_parquet(tpath, index=False)
+        # row_group_size: a real sorted table has many files/row groups; one
+        # giant pandas-default row group would collapse the presorted path's
+        # scan parallelism (every row in one split)
+        gen_transcripts(n_turns, seed=42, vocab_size=20_000).to_parquet(
+            tpath, index=False, row_group_size=125_000
+        )
 
     # This VM's run-to-run throughput noise is +-20-30% (hypervisor/
     # neighbor effects), so legs are measured in interleaved trials and the
@@ -104,8 +119,8 @@ def main() -> None:
     runs_n: list[float] = []
     runs_4n: list[float] = []
     for t in range(trials):
-        runs_n.append(measure(n_cores, tpath, n_turns))
-        runs_4n.append(measure(n_cores * 4, tpath, n_turns))
+        runs_n.append(measure(n_cores, tpath, n_turns, mode))
+        runs_4n.append(measure(n_cores * 4, tpath, n_turns, mode))
         print(
             json.dumps(
                 {
@@ -136,6 +151,7 @@ def main() -> None:
         "best_4N": round(max(runs_4n), 1),
         "scaling_efficiency_best": round(max(runs_4n) / (4 * max(runs_n)), 3),
         "pinned": "taskset",
+        "mode": mode,
     }
     print(json.dumps(out))
 

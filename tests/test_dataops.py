@@ -158,3 +158,20 @@ def test_ann_recall_clustered(spark):
         a.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(b[q] & a.get(q, set())) / len(b[q]) for q in qids]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_simhash_near_dup_pairs(spark, docs, vocab):
+    """Hamming-ball banding: identical docs pair at distance 0; far docs
+    (distance > max) never appear; every reported pair's distance is the
+    exact popcount of the fingerprint XOR."""
+    from baguetter_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, vocab, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs, vocab).collect()}
+    for (a, b), h in pairs.items():
+        assert h == bin(fp[a] ^ fp[b]).count("1")
+        assert h <= 3

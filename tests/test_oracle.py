@@ -102,3 +102,18 @@ def test_float32_discipline():
     idx = oracle_build_index([["a"] * 3 + ["b"], ["b", "c"]])
     assert idx.scores.dtype == np.float32
     assert idx.doc_indices.dtype == np.int32
+
+
+def test_allow_negative_robertson_idf():
+    """reference scoring.py:167-172: allow_negative skips the clamp-at-1 so
+    terms with df > n/2 get negative idf."""
+    import numpy as np
+
+    from baguetter_spark.operators.indexer import idf_values
+
+    df = np.array([9, 1])
+    clamped = idf_values(df, 10, "robertson")
+    neg = idf_values(df, 10, "robertson", allow_negative=True)
+    assert clamped[0] == 0.0
+    assert neg[0] < 0.0
+    assert clamped[1] == neg[1] > 0.0

@@ -88,3 +88,44 @@ def test_empty_input(spark):
     )
     layout = partition_layout(empty)
     assert layout is not None and layout.n_rows == 0
+
+
+def test_stream_assembly_equals_collect(spark):
+    """The streaming (repartition+sort+run-encode) posting assembly must
+    produce byte-identical blocks to the aggregation-based reference plan."""
+    import numpy as np
+
+    from baguetter_spark.operators.indexer import (
+        assemble_posting_blocks,
+        assemble_posting_blocks_collect,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "term_id": rng.integers(0, 40, n).astype("int64"),
+            "doc_idx": rng.integers(0, 2000, n).astype("int64"),
+            "tf": rng.integers(1, 5, n).astype("int64"),
+            "impact": rng.random(n).astype("float32"),
+        }
+    ).drop_duplicates(["term_id", "doc_idx"])
+    flat = spark.createDataFrame(pdf)
+    cfg = SparseIndexConfig(block_doc_range=256)
+
+    def digest(rows):
+        return {
+            (r["term_id"], r["block_id"]): (
+                r["n_postings"],
+                bytes(r["doc_ids_delta"]),
+                bytes(r["impacts_f32"]),
+                bytes(r["tfs"]),
+                r["block_max"],
+                tuple(r["sub_block_max"]),
+            )
+            for r in rows
+        }
+
+    a = digest(assemble_posting_blocks(flat, cfg).collect())
+    b = digest(assemble_posting_blocks_collect(flat, cfg).collect())
+    assert a == b
