@@ -71,6 +71,24 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
     print(json.dumps({"seconds": dt}))
 
 
+def membw_probe() -> float:
+    """Single-process numpy memcpy bandwidth (GB/s) — a 1-2 s machine-health
+    probe run before each leg.  This VM's throughput swings ±30% with
+    hypervisor neighbors (BENCH/BASELINE.md "Machine ceiling"); annotating
+    every trial with the concurrent bandwidth lets the record separate
+    scheduler/code effects from box weather."""
+    import numpy as np
+
+    src = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)  # 64 MiB
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.2:
+        _dst = src.copy()
+        n += 1
+    dt = time.time() - t0
+    return round(n * 2 * src.nbytes / dt / 1e9, 2)  # read+write bytes
+
+
 def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> float:
     cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
@@ -118,13 +136,17 @@ def main() -> None:
     # per-leg MEDIAN is the recorded number (best also reported).
     runs_n: list[float] = []
     runs_4n: list[float] = []
+    bw: list[float] = []
     for t in range(trials):
+        bw_t = membw_probe()
+        bw.append(bw_t)
         runs_n.append(measure(n_cores, tpath, n_turns, mode))
         runs_4n.append(measure(n_cores * 4, tpath, n_turns, mode))
         print(
             json.dumps(
                 {
                     "trial": t,
+                    "membw_gbps": bw_t,
                     "turns_per_sec_N": round(runs_n[-1], 1),
                     "turns_per_sec_4N": round(runs_4n[-1], 1),
                     "eff": round(runs_4n[-1] / (4 * runs_n[-1]), 3),
