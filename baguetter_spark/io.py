@@ -200,14 +200,17 @@ def build_index_resumable(
         build_vocab,
         corpus_stats,
         docs_from_transcripts,
-        exploded_terms,
         impacts_flat,
         indexed_keys,
+        local_term_frequencies,
     )
 
     io = TableIO(spark, workdir)
     runner = StageRunner(io)
-    base_fp = f"{input_id}:{config.config_hash()}"
+    # v3: hashed-term tf schema (doc_idx, doc_len, term_hash, term?, tf) —
+    # the version tag invalidates pre-hash checkpoints instead of resuming
+    # into a schema mismatch
+    base_fp = f"{input_id}:v3:{config.config_hash()}"
 
     keys = indexed_keys(transcripts)
     # shuffle_hash: avoid the SMJ string-sort of the text side (see indexer.py)
@@ -224,9 +227,7 @@ def build_index_resumable(
     tf = runner.run(
         "stage_tf",
         f"{base_fp}:tf",
-        lambda: exploded_terms(docs, config)
-        .groupBy("doc_idx", "doc_len", "term")
-        .agg(F2.count("*").alias("tf")),
+        lambda: local_term_frequencies(docs, config),
         range_by=["doc_idx"],
     )
 

@@ -34,6 +34,7 @@ from baguetter_spark.operators.indexer import (
     build_vocab,
     corpus_stats,
     impacts_flat,
+    term_hash_udf,
 )
 
 
@@ -106,8 +107,13 @@ def merge_indexes(
 
     n_docs, avg_doc_len = corpus_stats(doc_map)
 
-    tf = flat_tf.join(doc_map.select("doc_idx", "doc_len"), "doc_idx").select(
-        "doc_idx", "doc_len", "term", "tf"
+    # re-derive the 8-byte term keys from the decoded strings (segments may
+    # predate hashed vocab columns); string witnesses stay fully populated
+    # here — merge decode is already string-bound, not the hot build path
+    tf = (
+        flat_tf.join(doc_map.select("doc_idx", "doc_len"), "doc_idx")
+        .select("doc_idx", "doc_len", "term", "tf")
+        .withColumn("term_hash", term_hash_udf()(F.col("term")))
     )
     vocab = build_vocab(tf, n_docs, avg_doc_len, config).cache()
     flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)

@@ -52,8 +52,10 @@ from baguetter_spark.compress import (
 )
 from baguetter_spark.config import SparseIndexConfig
 from baguetter_spark.operators.indexer import (
+    _check_collisions,
     docs_from_transcripts,
-    exploded_terms,
+    hashed_term_stats,
+    local_term_frequencies,
 )
 from baguetter_spark.operators.search import tokenize_queries
 from baguetter_spark.operators.zipindex import zip_with_index
@@ -114,25 +116,22 @@ def build_bmx_index(
         )
         .select("doc_idx", "text")
     )
-    tf = (
-        exploded_terms(docs, config)
-        .groupBy("doc_idx", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist()
-    )
+    # per-doc counts fused into the tokenizer Arrow pass (no token-level
+    # shuffle; 8-byte term_hash keys — see indexer.local_term_frequencies)
+    tf = local_term_frequencies(docs, config).persist()
 
     # vocabulary: sorted rank over terms with df >= min_df (CountVectorizer
     # min_df semantics, index.py:211-218; unlike BM25, min_df IS applied).
     # ttf (sum tf of KEPT terms) rides the zipindex counts pass -> total_len
     # of the min_df-filtered doc-term matrix with no extra job.
-    term_stats = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
-        .where(F.col("df") >= min_df)
-    ).persist()
+    term_stats = hashed_term_stats(tf).where(F.col("df") >= min_df).persist()
     vocab_base, vstats = zip_with_index(
-        term_stats, ["term"], "term_id", extra_sums={"total_len": "ttf"}
+        term_stats,
+        ["term"],
+        "term_id",
+        extra_sums={"total_len": "ttf", "hash_collisions": "coll"},
     )
+    _check_collisions(vstats["hash_collisions"])
     total_len = int(vstats["total_len"])
 
     @F.pandas_udf("double")
@@ -168,27 +167,29 @@ def build_bmx_index(
             )
 
         ent = (
-            tf.join(vocab_base.select("term", "term_id"), "term")
+            tf.join(vocab_base.select("term_hash", "term_id"), "term_hash")
             .select("term_id", "doc_idx", "tf")
             .groupBy("term_id")
             .applyInPandas(ent_kernel, schema="term_id long, entropy double")
         )
     else:
         p = 1.0 / (1.0 + F.exp(-F.col("tf").cast("double")))
-        ent = tf.join(vocab_base.select("term", "term_id"), "term").groupBy(
+        ent = tf.join(vocab_base.select("term_hash", "term_id"), "term_hash").groupBy(
             "term_id"
         ).agg((-F.sum(p * F.log(p))).alias("entropy"))
 
     vocab = (
         vocab_base.withColumn("idf", idf_udf(F.col("df")))
         .join(ent, "term_id", "left")
-        .select("term_id", "term", "df", "idf", "entropy")
+        .select("term_id", "term_hash", "term", "df", "idf", "entropy")
         .persist()
     )
 
     # doc lengths over RETAINED terms only (the min_df-filtered doc-term
     # matrix defines doc_lens, index.py:245): sum tf where term in vocab
-    kept_tf = tf.join(vocab.select("term", "term_id"), "term")
+    kept_tf = tf.select("doc_idx", "term_hash", "tf").join(
+        vocab.select("term_hash", "term_id"), "term_hash"
+    )
     doc_lens = kept_tf.groupBy("doc_idx").agg(F.sum("tf").cast("long").alias("doc_len"))
     doc_map = (
         keys.select("doc_idx", "doc_id")

@@ -262,6 +262,109 @@ def exploded_terms(docs: DataFrame, config: SparseIndexConfig) -> DataFrame:
     )
 
 
+def hash_terms(terms: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit term hash (SipHash via pandas' fixed-key
+    hash_array — stable across processes/machines, independent of
+    PYTHONHASHSEED).  int64 view of the uint64 hash so it rides Spark's
+    native long type.
+
+    Why: term STRINGS are the widest column in the build; hashing them at
+    the tokenizer lets every downstream shuffle/join (TF persist, impacts
+    join, posting shuffle) carry an 8-byte long instead of a variable-width
+    string.  The string itself crosses the wire once per unique term per
+    partition (nullable ``term`` column) — just enough to reconstruct the
+    vocabulary.  Collisions are detected exactly (min!=max over the string
+    witnesses per hash) and fail loudly; at 10^9 unique terms the expected
+    collision count is ~0.03 (birthday bound V^2/2^65)."""
+    arr = np.asarray(terms, dtype=object)
+    return pd.util.hash_array(arr).view(np.int64)
+
+
+def term_hash_udf():
+    """Column form of hash_terms for frames that already carry term strings
+    (segment merge re-derives hashes from decoded vocab strings)."""
+
+    @F.pandas_udf("long")
+    def h(s: pd.Series) -> pd.Series:
+        return pd.Series(hash_terms(s.to_numpy(dtype=object)))
+
+    return h
+
+
+# cap on the per-partition "term string already emitted" memo; clearing it
+# merely re-emits some strings (first() needs only >=1 non-null per hash)
+_SEEN_TERMS_CAP = 2_000_000
+
+
+def local_term_frequencies(docs: DataFrame, config: SparseIndexConfig) -> DataFrame:
+    """(doc_idx, text) -> per-(doc, term) counts in ONE Arrow pass:
+    (doc_idx, doc_len, term_hash, term?, tf).
+
+    Per-doc TF is embarrassingly local — a document never spans Arrow
+    batches — so counting happens INSIDE the tokenizer pass (C-speed
+    Counter per doc) and the heavy (doc, term, tf) intermediate is born
+    already aggregated: the engine's biggest shuffle (the token-level TF
+    groupBy) disappears entirely.  Each term's string is emitted at most
+    once per partition (``term`` nullable elsewhere); everything downstream
+    keys on the 8-byte term_hash.  Replaces exploded_terms+groupBy
+    (reference corpus scan + per-doc TF, scoring.py:207-329 B1/B7)."""
+    from collections import Counter
+
+    from baguetter_spark.functions.preprocess import process_series
+
+    pre = config.preprocessor
+
+    def tok_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: set[str] = set()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = process_series(pdf["text"], pre)
+            di_in = pdf["doc_idx"].to_numpy(dtype=np.int64)
+            terms: list[str] = []
+            tfs: list[int] = []
+            n_unique = np.empty(len(pdf), dtype=np.int64)
+            doc_lens = np.empty(len(pdf), dtype=np.int64)
+            for i, lst in enumerate(toks):
+                c = Counter(lst)
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+                n_unique[i] = len(c)
+                doc_lens[i] = len(lst)
+            if not terms:
+                continue
+            doc_idx = np.repeat(di_in, n_unique)
+            doc_len = np.repeat(doc_lens, n_unique).astype(np.int32)
+            term_arr = np.asarray(terms, dtype=object)
+            hashes = hash_terms(term_arr)
+            # string witness: first occurrence in batch AND not yet emitted
+            # by this partition (vectorized dedup; the Python loop touches
+            # only batch-unique terms, a small set under Zipf)
+            first_mask = ~pd.Series(hashes).duplicated().to_numpy()
+            if len(seen) > _SEEN_TERMS_CAP:
+                seen.clear()
+            for j in np.flatnonzero(first_mask):
+                t = term_arr[j]
+                if t in seen:
+                    first_mask[j] = False
+                else:
+                    seen.add(t)
+            term_col = np.where(first_mask, term_arr, None)
+            yield pd.DataFrame(
+                {
+                    "doc_idx": doc_idx,
+                    "doc_len": doc_len,
+                    "term_hash": hashes,
+                    "term": term_col,
+                    "tf": np.asarray(tfs, dtype=np.int64),
+                }
+            )
+
+    return docs.select("doc_idx", "text").mapInPandas(
+        tok_tf, schema="doc_idx long, doc_len int, term_hash long, term string, tf long"
+    )
+
+
 def tokenized_docs(transcripts: DataFrame, config: SparseIndexConfig) -> DataFrame:
     """transcripts -> (doc_idx, doc_id, tokens, doc_len): array-valued form
     (kept for tests/consumers that need per-doc token lists; the build
@@ -328,19 +431,56 @@ def vocab_scores(
         "nonoccurrence",
         nonocc_udf(F.col("df")) if needs_nonocc else F.lit(None).cast("double"),
     )
-    return vocab.select("term_id", "term", "df", "idf", "nonoccurrence")
+    keep = ["term_id", "term", "df", "idf", "nonoccurrence"]
+    if "term_hash" in vocab.columns:
+        keep.insert(1, "term_hash")
+    return vocab.select(*keep)
+
+
+def hashed_term_stats(tf: DataFrame) -> DataFrame:
+    """tf (term_hash, term?, tf) -> per-term df/ttf + the collision witness.
+
+    ``coll`` = 1 iff two DIFFERENT strings hashed to this term_hash (min/max
+    over the non-null string witnesses disagree) — summed by the caller for
+    an exact, loud 64-bit-collision check that rides existing jobs."""
+    return tf.groupBy("term_hash").agg(
+        F.first("term", ignorenulls=True).alias("term"),
+        F.count("*").alias("df"),
+        F.sum("tf").alias("ttf"),
+        (F.min("term") != F.max("term")).cast("long").alias("coll"),
+    )
+
+
+def _check_collisions(n: int) -> None:
+    if int(n or 0) > 0:
+        msg = (
+            f"{n} term-hash collision(s): two distinct terms share a 64-bit "
+            "hash. Exact build impossible with hashed term keys; rebuild via "
+            "the string-keyed path or report the colliding corpus."
+        )
+        raise RuntimeError(msg)
 
 
 def build_vocab(
     tf: DataFrame, n_docs: int, avg_doc_len: float, config: SparseIndexConfig
 ) -> DataFrame:
-    """Sorted-rank term ids (B2) + df (B4) + idf/nonoccurrence (B6/B10)."""
+    """Sorted-rank term ids (B2) + df (B4) + idf/nonoccurrence (B6/B10).
+
+    Input tf carries (term_hash, term?) — see local_term_frequencies."""
     # persist the (small) term aggregate: zip_with_index evaluates its input
-    # for range sampling + counts + assignment — without this, the full
-    # explode/groupBy over billions of postings would run three times
-    term_stats = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
-    vocab_base = zip_with_index(term_stats, ["term"], "term_id")
-    return vocab_scores(vocab_base, n_docs, avg_doc_len, config)
+    # for range sampling + counts + assignment — without this, the heavy
+    # per-(doc,term) frame would aggregate three times
+    term_stats = hashed_term_stats(tf).persist()
+    vocab_base, vstats = zip_with_index(
+        term_stats, ["term"], "term_id", extra_sums={"coll": "coll"}
+    )
+    _check_collisions(vstats["coll"])
+    return vocab_scores(
+        vocab_base.select("term_id", "term_hash", "term", "df"),
+        n_docs,
+        avg_doc_len,
+        config,
+    )
 
 
 def impacts_flat(
@@ -350,15 +490,18 @@ def impacts_flat(
     avg_doc_len: float,
     config: SparseIndexConfig,
 ) -> DataFrame:
-    """(doc_idx, term, tf) ⋈ vocab -> (term_id, doc_idx, tf, impact) with the
-    float32 (or float64) impact kernel (B8/B9)."""
+    """(doc_idx, term_hash, tf) ⋈ vocab -> (term_id, doc_idx, tf, impact) with
+    the float32 (or float64) impact kernel (B8/B9).  The join keys on the
+    8-byte term_hash — no string crosses this (posting-sized) shuffle."""
     method = config.method
     k1, b, delta = config.k1, config.b, config.delta
     needs_nonocc = method in NON_OCCURRENCE_METHODS
     is_f32 = config.dtype == "float32"
     avg_len_b = avg_doc_len
 
-    scored = tf.join(vocab.select("term", "term_id", "idf", "nonoccurrence"), "term")
+    scored = tf.select("doc_idx", "doc_len", "term_hash", "tf").join(
+        vocab.select("term_hash", "term_id", "idf", "nonoccurrence"), "term_hash"
+    )
 
     @F.pandas_udf("float" if is_f32 else "double")
     def impact_udf(
@@ -437,13 +580,13 @@ def build_index(
 
     if layout is not None:
         from baguetter_spark.operators.presorted import (
-            presorted_exploded_terms,
             presorted_keys,
+            presorted_local_tf,
         )
 
         n_docs = layout.n_rows
         keys = presorted_keys(transcripts, layout)
-        flat_terms = presorted_exploded_terms(transcripts, layout, config)
+        tf = presorted_local_tf(transcripts, layout, config).persist()
     else:
         # shuffle_hash: without the hint this compiles to a sort-merge join
         # that fully SORTS the text side by its string key — pure overhead,
@@ -467,33 +610,37 @@ def build_index(
             )
             .select("doc_idx", "text")
         )
-        flat_terms = exploded_terms(docs, config)
-
-    # tf is the one heavy intermediate; everything downstream (doc lengths,
-    # vocabulary, impacts) derives from it, so the corpus crosses the
-    # tokenizer exactly once
-    tf = (
-        flat_terms.groupBy("doc_idx", "doc_len", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist()
-    )
+        # tf is the one heavy intermediate; per-doc counting is fused into
+        # the tokenizer's Arrow pass (no token-level shuffle — the corpus
+        # crosses the Python boundary once, already aggregated)
+        tf = local_term_frequencies(docs, config).persist()
 
     # vocabulary term ids + the global scalar stats in ONE pass: ttf (total
-    # tokens of the term) sums to total_len, df sums to total_postings —
-    # both ride the zipindex counts job instead of separate driver actions
-    term_stats = tf.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("ttf")
-    ).persist()
+    # tokens of the term) sums to total_len, df sums to total_postings, and
+    # the term-hash collision witness sums to hash_collisions — all ride
+    # the zipindex counts job instead of separate driver actions
+    term_stats = hashed_term_stats(tf).persist()
     vocab_base, vstats = zip_with_index(
-        term_stats, ["term"], "term_id", extra_sums={"total_len": "ttf", "total_postings": "df"}
+        term_stats,
+        ["term"],
+        "term_id",
+        extra_sums={
+            "total_len": "ttf",
+            "total_postings": "df",
+            "hash_collisions": "coll",
+        },
     )
+    _check_collisions(vstats["hash_collisions"])
     total_postings = int(vstats["total_postings"])
     # float64 avg over exact int64 sum — bit-equal to the reference's
     # float(np.mean(...)) for integer lengths (see corpus_stats)
     avg_doc_len = float(vstats["total_len"]) / n_docs if n_docs else 0.0
 
     vocab = vocab_scores(
-        vocab_base.select("term_id", "term", "df"), n_docs, avg_doc_len, config
+        vocab_base.select("term_id", "term_hash", "term", "df"),
+        n_docs,
+        avg_doc_len,
+        config,
     ).cache()
     flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)
 

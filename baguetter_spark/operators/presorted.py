@@ -222,3 +222,84 @@ def presorted_exploded_terms(
     return narrow.mapInPandas(
         tok_assign, schema="doc_idx long, doc_len int, term string"
     )
+
+
+def presorted_local_tf(
+    transcripts: DataFrame, layout: PartitionLayout, config
+) -> DataFrame:
+    """Fused assign+tokenize+count: (conv_id, turn_idx, text) -> per-(doc,
+    term) counts (doc_idx, doc_len, term_hash, term?, tf) in ONE Arrow pass
+    with no shuffle — the presorted counterpart of
+    indexer.local_term_frequencies (same output contract)."""
+    from collections import Counter
+
+    from baguetter_spark.functions.preprocess import process_series
+    from baguetter_spark.operators.indexer import _SEEN_TERMS_CAP, hash_terms
+
+    pre = config.preprocessor
+    narrow = transcripts.select("conv_id", "turn_idx", "text").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    b_off = transcripts.sparkSession.sparkContext.broadcast(
+        (layout.offsets, layout.counts)
+    )
+
+    def tok_tf_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        pid = None
+        off, cnts = b_off.value
+        seen: set[str] = set()
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = off[pid] + local
+            local += len(pdf)
+            toks = process_series(pdf["text"], pre)
+            di_in = np.arange(start, start + len(pdf), dtype=np.int64)
+            terms: list[str] = []
+            tfs: list[int] = []
+            n_unique = np.empty(len(pdf), dtype=np.int64)
+            doc_lens = np.empty(len(pdf), dtype=np.int64)
+            for i, lst in enumerate(toks):
+                c = Counter(lst)
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+                n_unique[i] = len(c)
+                doc_lens[i] = len(lst)
+            if not terms:
+                continue
+            doc_idx = np.repeat(di_in, n_unique)
+            doc_len = np.repeat(doc_lens, n_unique).astype(np.int32)
+            term_arr = np.asarray(terms, dtype=object)
+            hashes = hash_terms(term_arr)
+            first_mask = ~pd.Series(hashes).duplicated().to_numpy()
+            if len(seen) > _SEEN_TERMS_CAP:
+                seen.clear()
+            for j in np.flatnonzero(first_mask):
+                t = term_arr[j]
+                if t in seen:
+                    first_mask[j] = False
+                else:
+                    seen.add(t)
+            term_col = np.where(first_mask, term_arr, None)
+            yield pd.DataFrame(
+                {
+                    "doc_idx": doc_idx,
+                    "doc_len": doc_len,
+                    "term_hash": hashes,
+                    "term": term_col,
+                    "tf": np.asarray(tfs, dtype=np.int64),
+                }
+            )
+        if pid is not None and local != cnts[pid]:
+            msg = (
+                f"presorted layout mismatch: partition {pid} saw {local} rows, "
+                f"expected {cnts[pid]} (nondeterministic input partitioning)"
+            )
+            raise RuntimeError(msg)
+
+    return narrow.mapInPandas(
+        tok_tf_assign,
+        schema="doc_idx long, doc_len int, term_hash long, term string, tf long",
+    )

@@ -64,12 +64,7 @@ def main() -> None:
     timings["s1_zipindex"] = time.time() - t
 
     t = time.time()
-    tf = (
-        indexer.exploded_terms(ranged, config)
-        .groupBy("doc_idx", "doc_len", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist()
-    )
+    tf = indexer.local_term_frequencies(ranged, config).persist()
     tf.count()
     timings["s2_tokenize_tf"] = time.time() - t
 
