@@ -13,8 +13,9 @@ CORRECTNESS row (VERDICT round-1 next-round #2).
   (exactly-once, checkpointed); per-turn text must survive byte-identical
   (md5 digest vs DuckDB over the same parquet);
 - ``dedup_simhash_pairs`` — SimHash Hamming-ball banding near-dup pairs
-  (4x8-bit bands, pigeonhole-complete for Hamming <= 3; exact popcount
-  verification), oracle mirrors the identical banded procedure.
+  at max_hamming=3 (4x8-bit bands; pigeonhole candidate generation is
+  COMPLETE in this regime; exact popcount verification), oracle mirrors
+  the identical banded procedure.
 
 Same determinism rules as gate.py.
 """
@@ -126,12 +127,16 @@ def streaming_ingest_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_hamming=3 = sh_bands-1, the regime where 4-band pigeonhole
+    candidate generation is COMPLETE (every qualifying pair is found); at
+    >= sh_bands the banding is a recall heuristic on both engine and oracle,
+    which would make the row's equality check weaker than it looks."""
     from baguetter_spark.gate import _docs_with_id
     from baguetter_spark.operators.dedup import simhash_near_dup_pairs
 
     index = gate_index(spark, sf_dir, "lucene")
     return simhash_near_dup_pairs(
-        _docs_with_id(spark, sf_dir), index.vocab, max_hamming=6
+        _docs_with_id(spark, sf_dir), index.vocab, max_hamming=3
     )
 
 
@@ -175,7 +180,7 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 6
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 
 

@@ -60,6 +60,13 @@ from baguetter_spark.operators.indexer import (
 from baguetter_spark.operators.search import tokenize_queries
 from baguetter_spark.operators.zipindex import zip_with_index
 
+# f32 parity entropy materializes a term's full posting list in one pandas
+# group; above this df the term routes to the distributed JVM sum instead
+# (skew/OOM defense — a stopword with df ~ n_docs must never be one task).
+# 1M postings ~ 16 MB per group: far above any parity-suite corpus, far
+# below an executor's memory.
+ENTROPY_EXACT_DF_CAP = 1 << 20
+
 
 @dataclass
 class BMXIndex:
@@ -150,10 +157,17 @@ def build_bmx_index(
     # Parity (f32) mode replicates the reference's docID-ordered numpy
     # pairwise sum bit-for-bit (a distributed f64 SUM is partitioning-order
     # dependent at the last ulp, which would make the bit-exact parity suite
-    # flaky); per-term group size = df, fine at parity-test scale.  The f64
-    # scale path keeps the skew-safe distributed JVM sum — the ulp wobble is
-    # invisible after the gate's 4-dp rounding.
+    # flaky).  A pandas group materializes the term's FULL posting list in
+    # one task, so the bit-exact kernel is df-capped: terms with
+    # df > ENTROPY_EXACT_DF_CAP (hot/stopword terms — the unbounded-task
+    # skew risk at 100 TB) fall back to the skew-safe distributed JVM sum,
+    # whose ulp wobble is invisible after the gate's 4-dp rounding.  Parity
+    # suites run at corpus sizes far below the cap, so every term they see
+    # takes the bit-exact kernel.  The f64 scale path always uses the JVM sum.
     if is_f32:
+        tf_ids = tf.join(
+            vocab_base.select("term_hash", "term_id", "df"), "term_hash"
+        ).select("term_id", "doc_idx", "tf", "df")
 
         def ent_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("doc_idx")
@@ -166,12 +180,19 @@ def build_bmx_index(
                 }
             )
 
-        ent = (
-            tf.join(vocab_base.select("term_hash", "term_id"), "term_hash")
+        ent_exact = (
+            tf_ids.where(F.col("df") <= ENTROPY_EXACT_DF_CAP)
             .select("term_id", "doc_idx", "tf")
             .groupBy("term_id")
             .applyInPandas(ent_kernel, schema="term_id long, entropy double")
         )
+        p = 1.0 / (1.0 + F.exp(-F.col("tf").cast("double")))
+        ent_hot = (
+            tf_ids.where(F.col("df") > ENTROPY_EXACT_DF_CAP)
+            .groupBy("term_id")
+            .agg((-F.sum(p * F.log(p))).alias("entropy"))
+        )
+        ent = ent_exact.unionByName(ent_hot)
     else:
         p = 1.0 / (1.0 + F.exp(-F.col("tf").cast("double")))
         ent = tf.join(vocab_base.select("term_hash", "term_id"), "term_hash").groupBy(

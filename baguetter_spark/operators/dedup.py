@@ -17,6 +17,10 @@ oracle can reproduce every value exactly (no murmur/xxhash dependence).
 
 from __future__ import annotations
 
+import operator
+from dataclasses import dataclass
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +37,54 @@ SH_BITS = 32
 SH_A = 2654435761  # Knuth multiplicative constant
 SH_B = 40503
 SH_BANDS = 4  # 4 bands x 8 bits: pigeonhole-complete for Hamming <= 3
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Tunable knobs for the dedup family.  Module-level constants above are
+    the defaults (and what the driver-gate oracle SQL mirrors); at 100 TB
+    every cap/width here is a capacity decision, not a constant:
+
+    - ``shingle_df_cap``: shingles with df above this are dropped from
+      CANDIDATE GENERATION (a df-D shingle alone yields ~D^2/2 pairs).
+      Scale with corpus: a cap of c*sqrt(expected_pairs_budget) bounds the
+      worst single-shingle contribution.
+    - ``n_hashes``/``band_size``: MinHash signature length and LSH banding —
+      bands = n_hashes/band_size; the s-curve threshold is
+      (1/bands)^(1/band_size).
+    - ``sh_bits``/``sh_bands``: SimHash fingerprint width and Hamming-ball
+      banding; band equality is pigeonhole-complete for Hamming distance
+      <= sh_bands - 1.
+    """
+
+    ngram_n: int = 3
+    shingle_df_cap: int = 1000
+    n_hashes: int = N_HASHES
+    band_size: int = BAND_SIZE
+    sh_bits: int = SH_BITS
+    sh_bands: int = SH_BANDS
+
+    def __post_init__(self) -> None:
+        if self.n_hashes % self.band_size:
+            msg = "n_hashes must be a multiple of band_size"
+            raise ValueError(msg)
+        if self.sh_bits % self.sh_bands:
+            msg = "sh_bits must be a multiple of sh_bands"
+            raise ValueError(msg)
+        if self.sh_bits > 62:
+            msg = "sh_bits > 62 would overflow the bigint fingerprint"
+            raise ValueError(msg)
+
+    @property
+    def mh_a(self) -> list[int]:
+        return [2 * i + 1 for i in range(1, self.n_hashes + 1)]
+
+    @property
+    def mh_b(self) -> list[int]:
+        return [1000003 * (i + 1) % MH_P for i in range(self.n_hashes)]
+
+
+DEFAULT_DEDUP = DedupConfig()
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -65,22 +117,30 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, *, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    *,
+    n: int | None = None,
+    threshold: float = 0.5,
+    config: DedupConfig = DEFAULT_DEDUP,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard >= threshold.
 
     Candidates come from the shingle inverted index (docs sharing >= 1
     shingle) — the standard scalable pattern; with Zipf shingles a hot
-    shingle is a skew risk, so frequent shingles (df > 1000) are dropped
-    from CANDIDATE GENERATION only (they cannot distinguish near-dups).
-    Jaccard itself is computed over the full distinct-shingle sets.
+    shingle is a skew risk, so frequent shingles (df > config.shingle_df_cap)
+    are dropped from CANDIDATE GENERATION only (they cannot distinguish
+    near-dups).  Jaccard itself is computed over the full distinct-shingle
+    sets.
     """
+    if n is None:
+        n = config.ngram_n
     sh = shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
     sh_df = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     candidates_src = sh.join(
-        sh_df.where(F.col("sdf") <= 1000).select("shingle"), "shingle"
+        sh_df.where(F.col("sdf") <= config.shingle_df_cap).select("shingle"),
+        "shingle",
     )
     a = candidates_src.alias("a")
     b = candidates_src.alias("b")
@@ -114,12 +174,16 @@ def _token_ids(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, vocab: DataFrame) -> DataFrame:
-    """(doc_id, i, minhash): N_HASHES permutation-free min-hashes over the
-    distinct token-id set — min((a_i * x + b_i) % P)."""
+def minhash_signatures(
+    docs: DataFrame, vocab: DataFrame, config: DedupConfig = DEFAULT_DEDUP
+) -> DataFrame:
+    """(doc_id, i, minhash): config.n_hashes permutation-free min-hashes over
+    the distinct token-id set — min((a_i * x + b_i) % P)."""
     ids = _token_ids(docs, vocab)
+    mh_a, mh_b = config.mh_a, config.mh_b
     params = ids.sparkSession.createDataFrame(
-        [(i, MH_A[i], MH_B[i]) for i in range(N_HASHES)], "i int, a long, b long"
+        [(i, mh_a[i], mh_b[i]) for i in range(config.n_hashes)],
+        "i int, a long, b long",
     )
     crossed = ids.crossJoin(F.broadcast(params))
     return crossed.groupBy("doc_id", "i").agg(
@@ -130,11 +194,15 @@ def minhash_signatures(docs: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, vocab: DataFrame, *, threshold: float = 0.5
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    threshold: float = 0.5,
+    config: DedupConfig = DEFAULT_DEDUP,
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified with exact token-set Jaccard."""
-    sig = minhash_signatures(docs, vocab)
-    bands = sig.withColumn("band", (F.col("i") / BAND_SIZE).cast("int"))
+    sig = minhash_signatures(docs, vocab, config)
+    bands = sig.withColumn("band", (F.col("i") / config.band_size).cast("int"))
     band_sig = bands.groupBy("doc_id", "band").agg(
         F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "i", "minhash")))).alias(
             "band_key"
@@ -172,11 +240,22 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+def simhash(
+    docs: DataFrame, vocab: DataFrame, config: DedupConfig = DEFAULT_DEDUP
+) -> DataFrame:
     """32-bit SimHash over tf-weighted token-id hash bits.
 
     h(t) = (SH_A * (term_id + 1) + SH_B) % 2^32; bit j contributes +tf when
-    set, -tf when clear; fingerprint bit j = 1 iff the sum is > 0."""
+    set, -tf when clear; fingerprint bit j = 1 iff the sum is > 0.
+
+    Plan shape: the per-(doc, term) tf table is the heaviest intermediate in
+    the pipeline, so the bit sums are computed as ``sh_bits`` conditional SUM
+    aggregates over ONE pass of 1x rows (hash-partitioned by doc_id with
+    map-side partial aggregation — each mapper emits sh_bits longs per doc,
+    not sh_bits rows per posting).  An earlier plan crossJoined a 32-row bit
+    table and shuffled the 32x-amplified contribution table; at 100 TB that
+    amplification IS the job cost, so it was removed (same math — the gate
+    oracle reproduces either plan)."""
     t = tokenize_simple(docs)
     tf = (
         t.select("doc_id", F.explode("toks").alias("term"))
@@ -186,46 +265,61 @@ def simhash(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
     h = (F.lit(SH_A) * (F.col("term_id") + 1) + F.lit(SH_B)) % F.lit(2**32)
     tf = tf.withColumn("h", h)
-    bits = tf.sparkSession.createDataFrame([(j,) for j in range(SH_BITS)], "j int")
     # bit j of h via floor-div (shiftright needs a literal shift in Spark);
     # h < 2^32 so double math is exact (< 2^53)
-    bit_j = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2)
-    contrib = tf.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "j",
-        F.when(bit_j == 1, F.col("tf")).otherwise(-F.col("tf")).alias("c"),
-    )
-    sums = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
-    return sums.groupBy("doc_id").agg(
+    nbits = config.sh_bits
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(F.lit(0.0))
-        )
-        .cast("long")
-        .alias("simhash")
+            F.when(
+                F.floor(F.col("h") / F.lit(float(2**j))).cast("long") % 2 == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"s{j}")
+        for j in range(nbits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    # distinct powers of two < 2^sh_bits sum exactly in double (< 2^53)
+    fp = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(float(2**j))).otherwise(F.lit(0.0))
+            for j in range(nbits)
+        ],
     )
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, vocab: DataFrame, *, max_hamming: int = 3
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    max_hamming: int = 3,
+    config: DedupConfig = DEFAULT_DEDUP,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidate generation is Hamming-ball banding: the 32-bit fingerprint
-    splits into SH_BANDS=4 bands of 8 bits; two fingerprints within Hamming
-    distance 3 must agree EXACTLY on at least one band (pigeonhole), so the
-    band-equality join finds every such pair with no all-pairs comparison —
-    the same bucketed shape as MinHash LSH, so it scales the same way.
-    (For max_hamming > SH_BANDS - 1 the banding is a recall-heuristic, not
-    complete.)  Candidates are verified with the exact popcount of the XOR.
+    Candidate generation is Hamming-ball banding: the sh_bits fingerprint
+    splits into config.sh_bands equal bands; two fingerprints within Hamming
+    distance sh_bands-1 must agree EXACTLY on at least one band (pigeonhole),
+    so the band-equality join finds every such pair with no all-pairs
+    comparison — the same bucketed shape as MinHash LSH, so it scales the
+    same way.  (For max_hamming > sh_bands - 1 the banding is a
+    recall-HEURISTIC on candidate generation, not complete: a pair whose
+    differing bits land in every band is never considered.)  Candidates are
+    verified with the exact popcount of the XOR.
     """
-    fp = simhash(docs, vocab)
+    fp = simhash(docs, vocab, config)
+    band_width = config.sh_bits // config.sh_bands
+    band_mask = (1 << band_width) - 1
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                (F.shiftright(F.col("simhash"), 8 * b) % 256).alias("bval"),
+                (
+                    F.shiftright(F.col("simhash"), band_width * b) % (band_mask + 1)
+                ).alias("bval"),
             )
-            for b in range(SH_BANDS)
+            for b in range(config.sh_bands)
         ]
     )
     bands = fp.select(

@@ -65,7 +65,15 @@ def partition_layout(transcripts: DataFrame) -> PartitionLayout | None:
 
     One narrow pass (conv_id, turn_idx only — parquet column pruning keeps
     it ~2% of corpus bytes); #partitions summary rows to the driver.
+
+    The summary schema carries conv_id min/max at the INPUT's native type
+    (derived, not hardcoded string): a bigint conv_id must order numerically
+    ('10' < '9' as strings would silently diverge from the general
+    zipindex path's native-type ordering).  Any failure of the verification
+    pass itself (e.g. an exotic key type Arrow can't round-trip) returns
+    None — fallback to the general path, never an error on the fast path.
     """
+    conv_type = transcripts.schema["conv_id"].dataType.simpleString()
     narrow = transcripts.select("conv_id", "turn_idx").withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -105,13 +113,16 @@ def partition_layout(transcripts: DataFrame) -> PartitionLayout | None:
                 }
             )
 
-    rows = narrow.mapInPandas(
-        summarize,
-        schema=(
-            "pid int, cnt long, min_conv string, min_turn long, "
-            "max_conv string, max_turn long, sorted boolean"
-        ),
-    ).collect()
+    try:
+        rows = narrow.mapInPandas(
+            summarize,
+            schema=(
+                f"pid int, cnt long, min_conv {conv_type}, min_turn long, "
+                f"max_conv {conv_type}, max_turn long, sorted boolean"
+            ),
+        ).collect()
+    except Exception:  # noqa: BLE001 — any verification failure means "not provably sorted"
+        return None
     if not rows:
         return PartitionLayout(offsets={}, counts={}, n_rows=0)
     if not all(r["sorted"] for r in rows):

@@ -67,7 +67,13 @@ def per_query_topk(
     batches of a partition into one bounded accumulator (k rows per query at
     any time) so the per-(query, partition) bound holds regardless of how
     many batches the partition yields.
+
+    NaN scores are DROPPED up front: the two phases would otherwise disagree
+    (pandas sorts NaN last, Spark's descending window ranks NaN first), making
+    results partition-dependent.  BM25/BMX scores are never NaN; the dense/ANN
+    callers filter NaN themselves, so this is a belt-and-braces contract.
     """
+    scores = scores.where(~F.isnan(F.col(score_col).cast("double")))
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.DataFrame | None = None

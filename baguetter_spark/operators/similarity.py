@@ -53,6 +53,30 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _cosine(a, b):
+    """try_divide: a zero-norm vector yields NULL (not an ANSI divide error /
+    NaN — NaN sorts ABOVE every real score in Spark's descending window, so
+    it must never reach ranking); callers drop NULL/NaN scores."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _drop_unrankable(scored: DataFrame, score_col: str) -> DataFrame:
+    return scored.where(
+        F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
+    )
+
+
+def _probe_dim(embeddings: DataFrame, vec_col: str) -> int:
+    first = embeddings.select(vec_col).first()
+    if first is None or first[0] is None:
+        msg = (
+            f"cannot infer embedding dimension: input has no rows with a "
+            f"non-null '{vec_col}' column (pass dim= explicitly)"
+        )
+        raise RuntimeError(msg)
+    return len(first[0])
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -71,18 +95,47 @@ def cosine_topk(
     joined = embeddings.crossJoin(F.broadcast(q)).where(
         F.col(id_col) != F.col("query_id")
     )
-    cos = _dot(F.col(vec_col), F.col("qvec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
-    )
+    cos = _cosine(F.col(vec_col), F.col("qvec"))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
         F.round(cos, 6).alias("cos_r"),
     )
+    scored = _drop_unrankable(scored, "cos_r")
     topped = per_query_topk(scored, k, id_col="vec_id", score_col="cos_r")
     return topped.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_r"
     )
+
+
+def cosine_radius(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius search (reference usearch radius mode,
+    /root/reference/baguetter/indices/dense/usearch.py search-by-threshold
+    surface): ALL vectors with cosine >= min_cos per query — no top-k cut.
+
+    (query_id, vec_id, cos_r), cos_r rounded to 6 dp.  Same broadcast-query
+    brute scan as cosine_topk but the selective >= predicate replaces the
+    ranking window entirely — no shuffle at all after the scan."""
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = _cosine(F.col(vec_col), F.col("qvec"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cos, 6).alias("cos_r"),
+    )
+    return _drop_unrankable(scored, "cos_r").where(F.col("cos_r") >= min_cos)
 
 
 def lsh_bucket(vec_col, dim: int, *, band: int = 0, n_planes: int = N_PLANES):
@@ -152,7 +205,7 @@ def ann_lsh_topk(
     cosine over the deduplicated candidate set.  Deterministic (integer
     planes); the oracle computes the identical procedure."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = _probe_dim(embeddings, vec_col)
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
@@ -173,8 +226,9 @@ def ann_lsh_topk(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
     joined = cand.join(emb, "vec_id").join(F.broadcast(qvecs), "query_id")
-    cos = _dot(F.col("vec"), F.col("qvec")) / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+    cos = _cosine(F.col("vec"), F.col("qvec"))
     scored = joined.select("query_id", "vec_id", F.round(cos, 6).alias("cos_r"))
+    scored = _drop_unrankable(scored, "cos_r")
     topped = per_query_topk(scored, k, id_col="vec_id", score_col="cos_r")
     return topped.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_r"
