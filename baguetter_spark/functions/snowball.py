@@ -294,8 +294,24 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.snowball_es import stem as stem_es
 
         return stem_es
+    if n in ("russian", "ru"):
+        from baguetter_spark.functions.snowball_ru import stem as stem_ru
+
+        return stem_ru
+    if n in ("portuguese", "pt"):
+        from baguetter_spark.functions.snowball_pt import stem as stem_pt
+
+        return stem_pt
+    if n in ("italian", "it"):
+        from baguetter_spark.functions.snowball_it import stem as stem_it
+
+        return stem_it
+    if n in ("dutch", "nl"):
+        from baguetter_spark.functions.snowball_nl import stem as stem_nl
+
+        return stem_nl
     msg = (
-        f"Stemmer {name!r} not supported offline "
-        f"(vendored: english, german, french, spanish)."
+        f"Stemmer {name!r} not supported offline (vendored: english, german, "
+        f"french, spanish, russian, portuguese, italian, dutch)."
     )
     raise ValueError(msg)

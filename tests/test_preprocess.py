@@ -325,3 +325,98 @@ def test_language_id_feeds_stemmer(spark):
     # the German doc's 'bedeutung' stems with the German rules, not English
     de_st = get_stemmer(name_of[langs[1]])
     assert de_st("bedeutung") == "bedeut"
+
+
+RUSSIAN_GOLDENS = [
+    # hand-traced from the snowballstem.org Russian spec (all suffix tests
+    # limited to RV, derivational to R2)
+    ("книги", "книг"),        # noun и
+    ("книгами", "книг"),      # noun ами
+    ("делать", "дела"),       # verb ть preceded by а (both in RV)
+    ("делалась", "дела"),     # reflexive сь then verb ла
+    ("быстрее", "быстр"),     # adjective ее
+    ("возможность", "возможн"),  # noun ь then derivational ост in R2
+    ("красивее", "красив"),
+    ("важная", "важн"),       # adjective ая
+    ("бегавшая", "бега"),     # adjectival: ая then participle вш (after а)
+    ("стать", "стат"),        # verb ать does NOT fit in RV ('ть'); noun ь applies
+]
+
+PORTUGUESE_GOLDENS = [
+    ("nacionalidade", "nacional"),   # idade in R2
+    ("falando", "fal"),              # verb ando in RV
+    ("caminhando", "caminh"),
+    ("bonita", "bonit"),             # residual a
+    ("geologia", "geolog"),          # logia -> log
+    ("quilométricas", "quilométr"),  # icas in R2
+    ("felizmente", "feliz"),         # mente in R2
+    ("falou", "fal"),                # verb ou
+    ("importância", "import"),       # ância in R2
+    ("boa", "boa"),                  # too short for any region
+]
+
+ITALIAN_GOLDENS = [
+    ("abbandonata", "abbandon"),     # verb ata in RV
+    ("pericolosa", "pericol"),       # osa in R2
+    ("nazionale", "nazional"),       # step-3a final vowel
+    ("rapidamente", "rapid"),        # amente in R1
+    ("caratteristico", "caratterist"),
+    ("mangiarlo", "mang"),           # pronoun lo after ar -> e; verb are; final i
+    ("abilità", "abil"),             # ità in R2
+    ("dichiarazione", "dichiar"),    # azione in R2
+    ("possibilità", "possibil"),
+]
+
+DUTCH_GOLDENS = [
+    ("bedden", "bed"),               # en + undouble dd
+    ("boeken", "boek"),
+    ("bakken", "bak"),
+    ("lichamelijk", "licham"),       # lijk in R2 then repeat step 2
+    ("gelukkig", "gelukk"),          # ig in R2
+    ("waterig", "water"),
+    ("heerlijkheid", "heerlijk"),    # heid in R2, lijk NOT in R2
+    ("boom", "bom"),                 # step-4 vowel undouble
+    ("lopen", "lop"),                # en removal meets boom at the same stem
+    ("mogelijkheden", "mogelijk"),   # heden -> heid, then heid in R2
+    ("appels", "appel"),             # s after valid s-ending
+]
+
+
+def test_russian_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("russian")
+    for w, e in RUSSIAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_portuguese_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("portuguese")
+    for w, e in PORTUGUESE_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_italian_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("italian")
+    for w, e in ITALIAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_dutch_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("dutch")
+    for w, e in DUTCH_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_new_stemmers_registered_with_aliases():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    for a, b in (("ru", "russian"), ("pt", "portuguese"),
+                 ("it", "italian"), ("nl", "dutch")):
+        assert get_stemmer(a) is get_stemmer(b)
