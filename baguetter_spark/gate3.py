@@ -15,7 +15,10 @@ CORRECTNESS row (VERDICT round-1 next-round #2).
 - ``dedup_simhash_pairs`` — SimHash Hamming-ball banding near-dup pairs
   at max_hamming=3 (4x8-bit bands; pigeonhole candidate generation is
   COMPLETE in this regime; exact popcount verification), oracle mirrors
-  the identical banded procedure.
+  the identical banded procedure;
+- ``bm25_presorted_digest`` (round 3) — shuffle-free presorted build with
+  fallback disabled (assume_sorted="require") over a range-partitioned
+  key-sorted rewrite of the corpus; digest vs the same postings oracle.
 
 Same determinism rules as gate.py.
 """
@@ -140,6 +143,45 @@ def simhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def presorted_build_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """42nd gate row (VERDICT round-2 #7): the shuffle-free presorted build
+    proven at driver level.  The corpus is rewritten as a range-partitioned,
+    key-sorted parquet table (the natural layout of an Iceberg table sorted
+    on its key), read back one-file-per-split, and built with
+    assume_sorted="require" — fallback to the general path is DISABLED, so
+    a green row means the presorted path itself produced the reference
+    postings digest, not the general path behind a silent fallback."""
+    from baguetter_spark.operators.indexer import build_index
+
+    cfg = _gate_cfg()
+    base = os.path.join(
+        tempfile.gettempdir(), f"gate_presorted_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    tr = documents_as_transcripts(spark, sf_dir)
+    (
+        tr.repartitionByRange(32, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.parquet(base)
+    )
+    # One file per scan split: the default openCostInBytes packs many small
+    # files into one split ordered by SIZE, which breaks the global key
+    # ordering the presorted path verifies.  Restored after materialization.
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 * 1024 * 1024))
+    try:
+        sorted_tr = spark.read.parquet(base)
+        index = build_index(spark, sorted_tr, cfg, assume_sorted="require")
+        # materialize every scan-derived leg (postings via tf, doc_map via
+        # keys) while the split conf is still in force — the digest itself
+        # is evaluated lazily by the driver after this function returns
+        index.doc_map.count()
+        index.postings.count()
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    return postings_digest_of(index)
+
+
 STREAMING_INGEST_SQL = """
 SELECT doc_id, md5(text) AS text_md5 FROM documents
 """
@@ -191,6 +233,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_build_digest": resumable_build_digest_query,
         "streaming_ingest_digest": streaming_ingest_digest_query,
         "dedup_simhash_pairs": simhash_pairs_query,
+        "bm25_presorted_digest": presorted_build_digest_query,
     }
 
 
@@ -201,4 +244,5 @@ def gate3_oracle_sql() -> dict[str, str]:
         "resumable_build_digest": POSTINGS_DIGEST_SQL,
         "streaming_ingest_digest": STREAMING_INGEST_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "bm25_presorted_digest": POSTINGS_DIGEST_SQL,
     }

@@ -544,7 +544,7 @@ def build_index(
     transcripts: DataFrame,
     config: SparseIndexConfig | None = None,
     *,
-    assume_sorted: bool = False,
+    assume_sorted: bool | str = False,
 ) -> BM25Index:
     """Build the full BM25 index from a transcripts DataFrame (in-session
     caching; for the checkpoint-resumable variant see io.build_index_resumable).
@@ -557,6 +557,11 @@ def build_index(
     crosses a shuffle before the TF aggregation.  Falls back to the general
     range-shuffle path automatically if verification fails — results are
     digest-identical either way (differentially tested).
+    ``assume_sorted="require"``: same fast path, but fallback is DISABLED —
+    unsorted input raises instead, and the under-parallelism heuristic is
+    skipped.  Used by the driver gate (gate3.bm25_presorted_digest) so a
+    green row proves the shuffle-free path itself ran, and by callers who
+    contract-guarantee a key-sorted table and want layout drift to be loud.
 
     Driver-side scalar stats (n_docs, total_len, total_postings) piggyback
     on the zipWithIndex counts passes instead of separate jobs — the fixed
@@ -570,13 +575,18 @@ def build_index(
         from baguetter_spark.operators.presorted import partition_layout
 
         layout = partition_layout(transcripts)
-        if layout is not None and layout.n_rows > 0:
+        if assume_sorted != "require" and layout is not None and layout.n_rows > 0:
             # Under-partitioned input (e.g. one giant parquet row group)
             # would serialize the whole tokenize stage onto the few
             # populated partitions — the shuffle path parallelizes better.
             par = spark.sparkContext.defaultParallelism
             if len(layout.offsets) < max(2, par // 2):
                 layout = None
+        if assume_sorted == "require" and layout is None:
+            raise ValueError(
+                "assume_sorted='require': input is not partition-ordered by "
+                "(conv_id, turn_idx); fallback to the general path is disabled"
+            )
 
     if layout is not None:
         from baguetter_spark.operators.presorted import (

@@ -5,14 +5,43 @@ and report throughput at both plus efficiency eff = tput_4N / (4 * tput_N).
 Each measurement runs in a subprocess pinned with ``taskset`` to exactly the
 measured core count — otherwise a local[8] run's Python UDF workers would
 silently borrow the machine's idle cores and understate the true 4x speedup.
-Results go to BENCH/BASELINE.md.
 
-Usage: python scripts/bench_scaling.py [n_turns] [N] [trials] [mode]
+Weather-controlled protocol (round 3).  Two independent host pathologies
+were measured on this sandbox (README "Benchmark weather protocol"):
+
+  1. shared-memory contention (hypervisor neighbors) — visible only to
+     AGGREGATE multi-core traffic;
+  2. lazy page materialization — first touch of never-backed guest memory
+     costs up to ~770 us/page (~5 MB/s/proc) while prefaulted bandwidth is
+     normal; freed pages are returned to the host and refault cold, so the
+     pathology cannot be pre-heated away process-to-process.
+
+So each trial is bracketed by TWO probes — ``agg_bw_gbps`` (8 pinned procs
+copying between PREFAULTED buffers, summed: pure bandwidth/contention,
+healthy ~16-20 GB/s) and ``fault_mbps`` (one fresh 64 MiB allocation in a
+new process: lazy-backing health, healthy >1000 MB/s, throttled 5-160) —
+and each leg runs the build TWICE in one warmed JVM: run 1 (logged) pays
+the cold-fault tax and faults the JVM heap / Python worker arenas to the
+job's real high-water mark; run 2 is the recorded measurement, as on a
+long-lived cluster where executors are warm.  A trial is recorded as CLEAN
+only when every bracketing probe clears both gates; hopeless windows are
+skipped at probe cost instead of poisoning a ~20 min trial.  The campaign
+appends every event to a JSONL (restart-safe, accumulates across sessions)
+and keeps sampling until the requested number of clean trials is recorded.
+Per-leg medians over clean trials are the official numbers.
+
+Usage (campaign): python scripts/bench_scaling.py [n_turns] [N] [clean_trials]
+                    [mode] [--gate-bw GBPS] [--gate-fault MBPS]
+                    [--out FILE.jsonl] [--max-attempts K]
   mode: "sorted" (default — build_index(assume_sorted=True), the production
         path for an Iceberg/parquet table sorted by its key; the build
         VERIFIES the ordering and falls back if it doesn't hold) or
         "general" (range-shuffle zipWithIndex path).
-Self-mode (internal): python scripts/bench_scaling.py --one <cores> <tpath> <n_turns> <mode>
+Self-modes (internal):
+  --one <cores> <tpath> <n_turns> <mode>   one pinned leg (cold+warm runs)
+  --probe-one <seconds>                    one prefaulted-copy child (GB/s)
+  --fault-one                              one fresh-alloc child (MB/s)
+  --probe                                  print both probe metrics
 """
 
 from __future__ import annotations
@@ -27,9 +56,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
+HEALTHY_BW_GBPS = 16.0  # 8-proc aggregate prefaulted copy, healthy window
+DEFAULT_GATE_BW = 13.0  # ~80% of healthy
+DEFAULT_GATE_FAULT = 300.0  # MB/s fresh-alloc; throttled windows read 5-160
+SKIP_BW = 8.0  # below these the window is hopeless: skip the trial
+SKIP_FAULT = 40.0
+
 
 def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> None:
-    """Child mode: one pinned measurement, prints seconds on stdout."""
+    """Child mode: one pinned leg — the build runs TWICE in the same JVM.
+    Run 1 (cold, logged) faults heap/arena memory to the job's high-water
+    mark and pays the lazy-backing tax; run 2 (warm, recorded) measures the
+    steady state a long-lived cluster executor actually runs in."""
     from pyspark.sql import SparkSession
 
     from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
@@ -46,10 +84,8 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
     )
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(tpath)
-    # warm-up (excluded from the measurement): JVM codegen AND the Python
-    # worker pool — run a tiny pandas UDF through every core so worker
-    # processes exist and pandas/numpy are imported before the clock starts
-    # (a long-lived cluster is warm; cold-start is not what the rule measures)
+    # JVM codegen + Python worker pool warm-up (a tiny pandas UDF through
+    # every core so worker processes exist and pandas/numpy are imported)
     warm = transcripts.limit(64 * cores).repartition(cores)
 
     def _noop(batches):
@@ -57,39 +93,109 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
             yield pdf[["conv_id"]]
 
     warm.mapInPandas(_noop, schema="conv_id string").count()
-    t0 = time.time()
-    idx = build_index(
-        spark,
-        transcripts,
-        SparseIndexConfig(preprocessor=TextPreprocessorConfig()),
-        assume_sorted=(mode == "sorted"),
-    )
-    idx.postings.count()
-    idx.doc_map.count()  # materialize the full index, not just postings
-    dt = time.time() - t0
+
+    times = []
+    for _run in range(2):
+        t0 = time.time()
+        idx = build_index(
+            spark,
+            transcripts,
+            SparseIndexConfig(preprocessor=TextPreprocessorConfig()),
+            assume_sorted=(mode == "sorted"),
+        )
+        idx.postings.count()
+        idx.doc_map.count()  # materialize the full index, not just postings
+        times.append(time.time() - t0)
+        idx.postings.unpersist()
+        idx.doc_map.unpersist()
+        idx.vocab.unpersist()
     spark.stop()
-    print(json.dumps({"seconds": dt}))
+    print(json.dumps({"seconds": times[1], "seconds_cold": times[0]}))
 
 
-def membw_probe() -> float:
-    """Single-process numpy memcpy bandwidth (GB/s) — a 1-2 s machine-health
-    probe run before each leg.  This VM's throughput swings ±30% with
-    hypervisor neighbors (BENCH/BASELINE.md "Machine ceiling"); annotating
-    every trial with the concurrent bandwidth lets the record separate
-    scheduler/code effects from box weather."""
+def _probe_child(seconds: float) -> None:
+    """One bandwidth worker: copy between two PREFAULTED 64 MiB buffers
+    (np.copyto — no allocation in the loop, so lazy page materialization
+    cannot masquerade as low bandwidth; 128 MiB working set per proc
+    overflows L3, so the loop measures DRAM, not cache), print GB/s."""
     import numpy as np
 
-    src = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)  # 64 MiB
+    src = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # prefault dst
     t0 = time.time()
     n = 0
-    while time.time() - t0 < 1.2:
-        _dst = src.copy()
+    while time.time() - t0 < seconds:
+        np.copyto(dst, src)
         n += 1
     dt = time.time() - t0
-    return round(n * 2 * src.nbytes / dt / 1e9, 2)  # read+write bytes
+    print(json.dumps({"gbps": n * 2 * src.nbytes / dt / 1e9}))
 
 
-def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> float:
+def _fault_child() -> None:
+    """One lazy-backing worker: fresh 64 MiB allocation + fill, print MB/s.
+    Healthy minor-fault regime >1000 MB/s; host-throttled windows 5-160."""
+    import numpy as np
+
+    t0 = time.time()
+    c = np.empty(64 * 1024 * 1024 // 8)
+    c[:] = 1.0
+    dt = time.time() - t0
+    print(json.dumps({"mbps": 64.0 / dt}))
+
+
+def membw_probe_aggregate(nprocs: int = 8, seconds: float = 1.2) -> float:
+    """AGGREGATE prefaulted bandwidth (GB/s): nprocs concurrent copy
+    children, each taskset-pinned to its own core, summed.  This is the
+    probe that sees hypervisor contention — a single-process probe reads
+    healthy while the shared memory controller is saturated (round-2
+    series B, trial 4: best 1p probe, worst 8-core leg)."""
+    procs = [
+        subprocess.Popen(
+            [
+                "taskset", "-c", str(i),
+                sys.executable, os.path.abspath(__file__),
+                "--probe-one", str(seconds),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for i in range(nprocs)
+    ]
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        total += json.loads(out.strip().splitlines()[-1])["gbps"]
+    return round(total, 2)
+
+
+def fault_probe() -> float:
+    """Fresh-allocation rate (MB/s) in a brand-new process — measures the
+    host's lazy page-materialization health, the pathology that dominates
+    cold windows on this sandbox (cannot be pre-heated: freed pages are
+    returned to the host and refault cold)."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--fault-one"],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=300,
+    )
+    return round(json.loads(out.stdout.strip().splitlines()[-1])["mbps"], 1)
+
+
+def probes() -> dict[str, float | None]:
+    """Fault probe first (one 64 MiB alloc — cheap even when throttled);
+    the bandwidth probe prefaults 1 GiB across its children, so it only
+    runs when the window isn't already hopeless by the fault gate."""
+    fault = fault_probe()
+    bw = membw_probe_aggregate() if fault >= SKIP_FAULT else None
+    return {"fault_mbps": fault, "agg_bw_gbps": bw}
+
+
+def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple[float, float]:
+    """Returns (warm turns/s — recorded, cold turns/s — logged)."""
     cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
         [
@@ -103,21 +209,17 @@ def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> float
         cwd=REPO,
     )
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    dt = json.loads(last)["seconds"]
-    return n_turns / dt
+    rec = json.loads(last)
+    return n_turns / rec["seconds"], n_turns / rec["seconds_cold"]
 
 
-def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--one":
-        mode = sys.argv[5] if len(sys.argv) > 5 else "sorted"
-        run_build_once(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), mode)
-        return
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    mode = sys.argv[4] if len(sys.argv) > 4 else "sorted"
 
+def fixture_path(n_turns: int) -> str:
     cache_dir = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
     tpath = os.path.join(cache_dir, f"transcripts_{n_turns}_seed42.parquet")
@@ -130,52 +232,128 @@ def main() -> None:
         gen_transcripts(n_turns, seed=42, vocab_size=20_000).to_parquet(
             tpath, index=False, row_group_size=125_000
         )
+    return tpath
 
-    # This VM's run-to-run throughput noise is +-20-30% (hypervisor/
-    # neighbor effects), so legs are measured in interleaved trials and the
-    # per-leg MEDIAN is the recorded number (best also reported).
-    runs_n: list[float] = []
-    runs_4n: list[float] = []
-    bw: list[float] = []
-    for t in range(trials):
-        bw_t = membw_probe()
-        bw.append(bw_t)
-        runs_n.append(measure(n_cores, tpath, n_turns, mode))
-        runs_4n.append(measure(n_cores * 4, tpath, n_turns, mode))
-        print(
-            json.dumps(
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        mode = sys.argv[5] if len(sys.argv) > 5 else "sorted"
+        run_build_once(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), mode)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe-one":
+        _probe_child(float(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--fault-one":
+        _fault_child()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        print(json.dumps(probes()))
+        return
+
+    args: list[str] = []
+    flags: dict[str, str] = {}
+    rest = sys.argv[1:]
+    i = 0
+    while i < len(rest):
+        if rest[i].startswith("--") and i + 1 < len(rest):
+            flags[rest[i]] = rest[i + 1]
+            i += 2
+        else:
+            args.append(rest[i])
+            i += 1
+
+    n_turns = int(args[0]) if len(args) > 0 else 4_000_000
+    n_cores = int(args[1]) if len(args) > 1 else 2
+    want_clean = int(args[2]) if len(args) > 2 else 8
+    mode = args[3] if len(args) > 3 else "sorted"
+    gate_bw = float(flags.get("--gate-bw", DEFAULT_GATE_BW))
+    gate_fault = float(flags.get("--gate-fault", DEFAULT_GATE_FAULT))
+    max_attempts = int(flags.get("--max-attempts", want_clean * 4))
+    out_path = flags.get(
+        "--out", os.path.join(REPO, "BENCH", f"scaling_r3_{n_turns}_gated.jsonl")
+    )
+
+    tpath = fixture_path(n_turns)
+
+    clean_n: list[float] = []
+    clean_4n: list[float] = []
+    attempts = 0
+    skips = 0
+
+    def emit(fh, line: dict) -> None:
+        print(json.dumps(line), flush=True)
+        fh.write(json.dumps(line) + "\n")
+        fh.flush()
+
+    with open(out_path, "a") as fh:
+        emit(fh, {"event": "campaign_start", "n_turns": n_turns,
+                  "cores_N": n_cores, "cores_4N": n_cores * 4,
+                  "want_clean": want_clean, "gate_bw_gbps": gate_bw,
+                  "gate_fault_mbps": gate_fault, "mode": mode})
+        while len(clean_n) < want_clean and attempts < max_attempts:
+            pr0 = probes()
+            if pr0["agg_bw_gbps"] is None or pr0["agg_bw_gbps"] < SKIP_BW or pr0["fault_mbps"] < SKIP_FAULT:
+                skips += 1
+                emit(fh, {"event": "skip_dirty_window", **pr0, "skips": skips})
+                time.sleep(30)
+                continue
+            attempts += 1
+            w_n, c_n = measure(n_cores, tpath, n_turns, mode)
+            pr1 = probes()
+            w_4n, c_4n = measure(n_cores * 4, tpath, n_turns, mode)
+            pr2 = probes()
+            all_bw = [p["agg_bw_gbps"] for p in (pr0, pr1, pr2)]
+            all_fault = [p["fault_mbps"] for p in (pr0, pr1, pr2)]
+            clean = (
+                all(b is not None and b >= gate_bw for b in all_bw)
+                and min(all_fault) >= gate_fault
+            )
+            if clean:
+                clean_n.append(w_n)
+                clean_4n.append(w_4n)
+            emit(fh, {
+                "event": "trial",
+                "attempt": attempts,
+                "clean": clean,
+                "probe_pre": pr0, "probe_mid": pr1, "probe_post": pr2,
+                "turns_per_sec_N": round(w_n, 1),
+                "turns_per_sec_4N": round(w_4n, 1),
+                "turns_per_sec_N_coldrun": round(c_n, 1),
+                "turns_per_sec_4N_coldrun": round(c_4n, 1),
+                "eff": round(w_4n / (4 * w_n), 3),
+                "clean_recorded": len(clean_n),
+            })
+
+        summary = {
+            "event": "summary",
+            "n_turns": n_turns,
+            "cores_N": n_cores,
+            "cores_4N": n_cores * 4,
+            "mode": mode,
+            "gate_bw_gbps": gate_bw,
+            "gate_fault_mbps": gate_fault,
+            "healthy_bw_gbps": HEALTHY_BW_GBPS,
+            "attempts": attempts,
+            "dirty_skips": skips,
+            "clean_trials": len(clean_n),
+            "pinned": "taskset",
+            "measured_run": "2nd build in warmed JVM (cold run logged)",
+        }
+        if clean_n:
+            tput_n, tput_4n = _median(clean_n), _median(clean_4n)
+            summary.update(
                 {
-                    "trial": t,
-                    "membw_gbps": bw_t,
-                    "turns_per_sec_N": round(runs_n[-1], 1),
-                    "turns_per_sec_4N": round(runs_4n[-1], 1),
-                    "eff": round(runs_4n[-1] / (4 * runs_n[-1]), 3),
+                    "turns_per_sec_N": round(tput_n, 1),
+                    "turns_per_sec_4N": round(tput_4n, 1),
+                    "scaling_efficiency": round(tput_4n / (4 * tput_n), 3),
+                    "best_N": round(max(clean_n), 1),
+                    "best_4N": round(max(clean_4n), 1),
+                    "scaling_efficiency_best": round(
+                        max(clean_4n) / (4 * max(clean_n)), 3
+                    ),
                 }
-            ),
-            flush=True,
-        )
-
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
-
-    tput_n, tput_4n = median(runs_n), median(runs_4n)
-    out = {
-        "n_turns": n_turns,
-        "cores_N": n_cores,
-        "cores_4N": n_cores * 4,
-        "trials": trials,
-        "turns_per_sec_N": round(tput_n, 1),
-        "turns_per_sec_4N": round(tput_4n, 1),
-        "scaling_efficiency": round(tput_4n / (4 * tput_n), 3),
-        "best_N": round(max(runs_n), 1),
-        "best_4N": round(max(runs_4n), 1),
-        "scaling_efficiency_best": round(max(runs_4n) / (4 * max(runs_n)), 3),
-        "pinned": "taskset",
-        "mode": mode,
-    }
-    print(json.dumps(out))
+            )
+        emit(fh, summary)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,29 @@ def test_presorted_falls_back_on_unsorted(spark):
     assert _index_digest(fast) == _index_digest(general)
 
 
+def test_require_mode_raises_on_unsorted(spark):
+    """assume_sorted="require" disables the silent fallback: unsorted input
+    must raise, and the under-parallelism heuristic must be skipped (a
+    sorted corpus with few partitions still takes the presorted path)."""
+    pdf = gen_transcripts(200, 30, seed=13, vocab_size=200)
+    shuffled = pdf.sample(frac=1.0, random_state=99).reset_index(drop=True)
+    sdf = spark.createDataFrame(shuffled).repartition(4).persist()
+    cfg = SparseIndexConfig(preprocessor=TextPreprocessorConfig.parity())
+    with pytest.raises(ValueError, match="assume_sorted='require'"):
+        build_index(spark, sdf, cfg, assume_sorted="require")
+    # few-partition sorted input: bool mode falls back (heuristic), require
+    # mode must still build on the presorted path with identical digest
+    narrow = (
+        spark.createDataFrame(gen_transcripts(150, 20, seed=7, vocab_size=150))
+        .repartitionByRange(2, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .persist()
+    )
+    general = build_index(spark, narrow, cfg)
+    required = build_index(spark, narrow, cfg, assume_sorted="require")
+    assert _index_digest(required) == _index_digest(general)
+
+
 def test_layout_offsets_cover_all_rows(spark, corpus):
     layout = partition_layout(corpus)
     assert layout is not None
