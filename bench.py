@@ -76,6 +76,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # --- unmeasured warm-up: JVM codegen, Python worker pool, allocator ----
+    # A long-lived cluster executor is warm; cold-start is not what the
+    # headline measures.  This matters doubly on this sandbox, where first
+    # touch of never-backed guest memory can run at single-digit MB/s
+    # (README "Benchmark weather protocol") — without a warm-up the first
+    # entry absorbs minutes of host-side page materialization.  A tiny
+    # build (2k synthetic turns) walks every stage: tokenizer UDF, zipindex,
+    # posting assembly, search kernels stay cold (warmed by their own size).
+    t0 = time.time()
+    from baguetter_spark.fixtures import gen_transcripts
+
+    warm_tr = spark.createDataFrame(gen_transcripts(2_000, seed=7, vocab_size=2_000))
+    warm_idx = build_index(
+        spark, warm_tr, SparseIndexConfig(preprocessor=TextPreprocessorConfig())
+    )
+    warm_idx.postings.count()
+    warm_idx.doc_map.count()
+    warm_q = spark.createDataFrame(gen_queries(8, seed=11, vocab_size=2_000))
+    score_queries(warm_idx, warm_q, top_k=TOP_K, parity=False).count()
+    score_queries(warm_idx, warm_q, top_k=TOP_K, pruned=True).count()
+    warm_idx.postings.unpersist()
+    warm_idx.doc_map.unpersist()
+    warm_idx.vocab.unpersist()
+    log(f"warm-up build+search (unmeasured): {time.time()-t0:.1f}s")
+
     # --- q1: index build over the driver's documents table -----------------
     t0 = time.time()
     cfg_docs = SparseIndexConfig(preprocessor=GATE_PREPROCESSOR)
