@@ -28,9 +28,10 @@ class TextPreprocessorConfig:
     ``tokenizer`` supports "whitespace" (``str.split`` semantics) and
     "wordpunct" (nltk WordPunctTokenizer regex, vendored); the nltk
     "word"/"sent" tokenizers need trained punkt models and raise offline.
-    ``stemmer`` supports "english" (vendored Snowball/Porter2), "german",
-    "french", "spanish" (vendored from the published Snowball specs), or
-    None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
+    ``stemmer`` supports "english" (vendored Snowball/Porter2) plus
+    "german", "french", "spanish", "russian", "portuguese", "italian",
+    "dutch", "swedish", "norwegian", "danish" (all vendored from the
+    published Snowball specs), or None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
     None.  ``do_diacritics_normalization`` (engine extension, default off —
     the reference ships ``normalize_diacritics`` but never wires it into its
     pipeline) ASCII-folds diacritics after special-chars normalization.

@@ -310,8 +310,21 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.snowball_nl import stem as stem_nl
 
         return stem_nl
+    if n in ("swedish", "sv"):
+        from baguetter_spark.functions.snowball_scandi import stem_sv
+
+        return stem_sv
+    if n in ("norwegian", "no"):
+        from baguetter_spark.functions.snowball_scandi import stem_no
+
+        return stem_no
+    if n in ("danish", "da"):
+        from baguetter_spark.functions.snowball_scandi import stem_da
+
+        return stem_da
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
-        f"french, spanish, russian, portuguese, italian, dutch)."
+        f"french, spanish, russian, portuguese, italian, dutch, swedish, "
+        f"norwegian, danish)."
     )
     raise ValueError(msg)

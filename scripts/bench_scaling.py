@@ -109,6 +109,10 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
         idx.postings.unpersist()
         idx.doc_map.unpersist()
         idx.vocab.unpersist()
+        # drop build-internal persists (tf, term_stats) too: run 2 must not
+        # run under run 1's lingering storage pressure, and must redo the
+        # identical work from the parquet scan
+        spark.catalog.clearCache()
     spark.stop()
     print(json.dumps({"seconds": times[1], "seconds_cold": times[0]}))
 

@@ -382,6 +382,34 @@ DUTCH_GOLDENS = [
 ]
 
 
+SWEDISH_GOLDENS = [
+    ("jackor", "jack"),          # or in R1
+    ("klubbarna", "klubb"),      # arna in R1
+    ("optimisten", "optimist"),  # en in R1
+    ("väldigt", "väld"),         # step-2 gt undouble, then ig
+    ("följas", "följ"),          # as in R1
+    ("stadens", "stad"),         # ens in R1
+]
+
+NORWEGIAN_GOLDENS = [
+    ("bilene", "bil"),           # ene in R1
+    ("huset", "hus"),            # et in R1
+    ("kjærligheten", "kjær"),    # heten in R1, then lig in R1
+    ("folks", "folk"),           # s after k not preceded by a vowel
+    ("boks", "boks"),            # s after k PRECEDED by a vowel: kept
+    ("baserte", "baser"),        # erte -> er
+]
+
+DANISH_GOLDENS = [
+    ("indtagelse", "indtag"),    # e in R1, then els in R1
+    ("kaffe", "kaf"),            # e in R1, then undouble ff
+    ("vigtigst", "vigt"),        # igst -> ig removal chain
+    ("hans", "han"),             # s after valid s-ending
+    ("overordnede", "overordned"),  # only residual e strips (no 'ede' in
+                                    # the Danish step-1 list, unlike Norwegian)
+]
+
+
 def test_russian_stemmer_goldens():
     from baguetter_spark.functions.snowball import get_stemmer
 
@@ -414,9 +442,34 @@ def test_dutch_stemmer_goldens():
         assert st(w) == e, (w, st(w), e)
 
 
+def test_swedish_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("swedish")
+    for w, e in SWEDISH_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_norwegian_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("norwegian")
+    for w, e in NORWEGIAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_danish_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("danish")
+    for w, e in DANISH_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
 def test_new_stemmers_registered_with_aliases():
     from baguetter_spark.functions.snowball import get_stemmer
 
     for a, b in (("ru", "russian"), ("pt", "portuguese"),
-                 ("it", "italian"), ("nl", "dutch")):
+                 ("it", "italian"), ("nl", "dutch"),
+                 ("sv", "swedish"), ("no", "norwegian"), ("da", "danish")):
         assert get_stemmer(a) is get_stemmer(b)
