@@ -182,6 +182,40 @@ def presorted_build_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_digest_of(index)
 
 
+RADIUS_MIN_COS = 0.25
+
+
+def knn_radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """43rd gate row (VERDICT round-2 #9): dense radius search (reference
+    usearch search-by-threshold surface) — every vector with cosine >=
+    min_cos per query, no top-k cut; pure scan+broadcast+filter plan."""
+    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.similarity import cosine_radius
+
+    return cosine_radius(
+        _emb_double(spark, sf_dir), EMB_QUERY_IDS, min_cos=RADIUS_MIN_COS
+    )
+
+
+def _knn_radius_sql() -> str:
+    from baguetter_spark.gate import EMB_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in EMB_QUERY_IDS)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id IN ({ids}))
+SELECT q.query_id, e.vec_id,
+       round(list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_r
+FROM emb e CROSS JOIN q
+WHERE e.vec_id <> q.query_id
+  AND round(list_dot_product(e.v, q.qv)
+            / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) >= {RADIUS_MIN_COS}
+"""
+
+
 STREAMING_INGEST_SQL = """
 SELECT doc_id, md5(text) AS text_md5 FROM documents
 """
@@ -234,6 +268,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ingest_digest": streaming_ingest_digest_query,
         "dedup_simhash_pairs": simhash_pairs_query,
         "bm25_presorted_digest": presorted_build_digest_query,
+        "knn_cosine_radius": knn_radius_query,
     }
 
 
@@ -245,4 +280,5 @@ def gate3_oracle_sql() -> dict[str, str]:
         "streaming_ingest_digest": STREAMING_INGEST_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "bm25_presorted_digest": POSTINGS_DIGEST_SQL,
+        "knn_cosine_radius": _knn_radius_sql(),
     }
