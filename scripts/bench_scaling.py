@@ -198,21 +198,50 @@ def probes() -> dict[str, float | None]:
     return {"fault_mbps": fault, "agg_bw_gbps": bw}
 
 
+class LegTimeout(Exception):
+    pass
+
+
+def _leg_timeout_s(cores: int, n_turns: int) -> float:
+    """Hard cap per leg: ~2.5x a healthy double-run (healthy ≈ 3500
+    turns/s/core) + startup.  A leg that cannot finish inside the cap is
+    running in weather the probes missed — abort instead of burning hours
+    on a trial that can never be recorded as clean."""
+    healthy_run = n_turns / (3500.0 * cores)
+    return 2.5 * 2 * healthy_run + 180
+
+
 def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple[float, float]:
-    """Returns (warm turns/s — recorded, cold turns/s — logged)."""
+    """Returns (warm turns/s — recorded, cold turns/s — logged).
+    Raises LegTimeout (after killing the leg's process group) if the leg
+    exceeds its weather cap."""
+    import signal
+
     cpu_list = f"0-{cores - 1}"
-    out = subprocess.run(
+    proc = subprocess.Popen(
         [
             "taskset", "-c", cpu_list,
             sys.executable, os.path.abspath(__file__),
             "--one", str(cores), tpath, str(n_turns), mode,
         ],
-        capture_output=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
         text=True,
-        check=True,
         cwd=REPO,
+        start_new_session=True,  # own pgid: the JVM grandchild dies with it
     )
-    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    try:
+        out, _ = proc.communicate(timeout=_leg_timeout_s(cores, n_turns))
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        raise LegTimeout(f"{cores}-core leg exceeded {_leg_timeout_s(cores, n_turns):.0f}s")
+    if proc.returncode != 0:
+        raise RuntimeError(f"{cores}-core leg failed rc={proc.returncode}")
+    last = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(last)
     return n_turns / rec["seconds"], n_turns / rec["seconds_cold"]
 
@@ -273,6 +302,7 @@ def main() -> None:
     gate_bw = float(flags.get("--gate-bw", DEFAULT_GATE_BW))
     gate_fault = float(flags.get("--gate-fault", DEFAULT_GATE_FAULT))
     max_attempts = int(flags.get("--max-attempts", want_clean * 4))
+    max_seconds = float(flags.get("--max-seconds", 6 * 3600))
     out_path = flags.get(
         "--out", os.path.join(REPO, "BENCH", f"scaling_r3_{n_turns}_gated.jsonl")
     )
@@ -294,18 +324,36 @@ def main() -> None:
                   "cores_N": n_cores, "cores_4N": n_cores * 4,
                   "want_clean": want_clean, "gate_bw_gbps": gate_bw,
                   "gate_fault_mbps": gate_fault, "mode": mode})
-        while len(clean_n) < want_clean and attempts < max_attempts:
+        t_start = time.time()
+        while (
+            len(clean_n) < want_clean
+            and attempts < max_attempts
+            and time.time() - t_start < max_seconds
+        ):
             pr0 = probes()
-            if pr0["agg_bw_gbps"] is None or pr0["agg_bw_gbps"] < SKIP_BW or pr0["fault_mbps"] < SKIP_FAULT:
+            # A trial only STARTS when the window already meets the full
+            # CLEAN gates — a merely "not hopeless" window (the old skip
+            # thresholds) starts a doomed trial that burns an hour and can
+            # never be recorded.
+            if (
+                pr0["agg_bw_gbps"] is None
+                or pr0["agg_bw_gbps"] < gate_bw
+                or pr0["fault_mbps"] < gate_fault
+            ):
                 skips += 1
                 emit(fh, {"event": "skip_dirty_window", **pr0, "skips": skips})
                 time.sleep(30)
                 continue
             attempts += 1
-            w_n, c_n = measure(n_cores, tpath, n_turns, mode)
-            pr1 = probes()
-            w_4n, c_4n = measure(n_cores * 4, tpath, n_turns, mode)
-            pr2 = probes()
+            try:
+                w_n, c_n = measure(n_cores, tpath, n_turns, mode)
+                pr1 = probes()
+                w_4n, c_4n = measure(n_cores * 4, tpath, n_turns, mode)
+                pr2 = probes()
+            except LegTimeout as exc:
+                emit(fh, {"event": "trial_aborted", "attempt": attempts,
+                          "reason": str(exc), "probe_pre": pr0})
+                continue
             all_bw = [p["agg_bw_gbps"] for p in (pr0, pr1, pr2)]
             all_fault = [p["fault_mbps"] for p in (pr0, pr1, pr2)]
             clean = (
