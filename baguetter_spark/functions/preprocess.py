@@ -61,6 +61,24 @@ _DIACRITIC_EXTRA = str.maketrans(
      "þ": "th", "ł": "l", "ħ": "h", "ı": "i"}
 )
 
+# Cyrillic -> Latin romanization (GOST 7.79 System B style, public
+# standard; hard/soft signs drop — right for token matching).  Diverges
+# from unidecode in detail (unidecode maps ъ/ь to apostrophes); the
+# reference's unidecode path is documented as approximated, not cloned.
+_CYR_LOWER = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "e",
+    "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch",
+    "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "yu", "я": "ya",
+    # common non-Russian Cyrillic letters (uk/be/sr/bg)
+    "і": "i", "ї": "yi", "є": "ye", "ґ": "g", "ђ": "dj", "љ": "lj",
+    "њ": "nj", "ћ": "c", "џ": "dz", "ѕ": "dz", "ј": "j",
+}
+_CYRILLIC = str.maketrans(
+    {**_CYR_LOWER, **{k.upper(): v.capitalize() for k, v in _CYR_LOWER.items()}}
+)
+
 
 # --- individual steps (exact reference I/O; tested against the reference's
 # own goldens, tests/.../text_normalization_test.py:7-31) ---
@@ -94,15 +112,20 @@ def normalize_diacritics(text: str) -> str:
     """ASCII-fold diacritics (reference ``normalize_diacritics``,
     normalization.py:46-56, which uses unidecode).  Offline substitute:
     NFKD decomposition + combining-mark strip (exact for Latin diacritics:
-    é→e, ü→u, ñ→n) plus a small table for non-decomposable Latin letters
-    (ß→ss, œ→oe, ...).  Non-Latin scripts pass through unchanged (unidecode
-    would transliterate them — documented divergence)."""
+    é→e, ü→u, ñ→n), a small table for non-decomposable Latin letters
+    (ß→ss, œ→oe, ...), and GOST-style Cyrillic romanization (Москва→Moskva).
+    Other non-Latin scripts (CJK, Arabic, ...) pass through unchanged
+    (unidecode would transliterate them — documented divergence)."""
     import unicodedata
 
     text = text.translate(_DIACRITIC_EXTRA)
-    return "".join(
+    text = "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )
+    # AFTER the strip: й/ё decompose under NFKD (и+breve / е+diaeresis), so
+    # romanizing the stripped base letters covers composed and decomposed
+    # input identically
+    return text.translate(_CYRILLIC)
 
 
 def _resolve(cfg: TextPreprocessorConfig):

@@ -67,7 +67,21 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
     """Child mode: one pinned leg — the build runs TWICE in the same JVM.
     Run 1 (cold, logged) faults heap/arena memory to the job's high-water
     mark and pays the lazy-backing tax; run 2 (warm, recorded) measures the
-    steady state a long-lived cluster executor actually runs in."""
+    steady state a long-lived cluster executor actually runs in.
+
+    Keep-memory-resident settings: on this sandbox, pages RETURNED to the
+    OS are handed back to the host and refault cold (README weather
+    protocol), so any allocator that trims/uncommits re-pays the
+    materialization tax every run.  glibc trim is disabled and the mmap
+    threshold raised (worker/driver pandas buffers stay in reusable
+    arenas), pyarrow uses the system allocator (its jemalloc pool decays
+    dirty pages back to the OS), and the JVM runs -Xms==-Xmx (G1 never
+    uncommits regions).  On a normal host these are no-ops for
+    correctness and standard long-lived-executor tuning."""
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = str(256 * 1024 * 1024)
+    os.environ["ARROW_DEFAULT_MEMORY_POOL"] = "system"
+
     from pyspark.sql import SparkSession
 
     from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
@@ -79,6 +93,10 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "20g")
+        .config("spark.driver.extraJavaOptions", "-Xms20g")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -213,6 +213,30 @@ def test_diacritics_normalization():
     assert make_processor(cfg)("Café Zürich") == ["cafe", "zurich"]
 
 
+def test_cyrillic_transliteration():
+    from baguetter_spark.config import TextPreprocessorConfig
+    from baguetter_spark.functions.preprocess import (
+        make_processor,
+        normalize_diacritics,
+    )
+
+    assert normalize_diacritics("Москва") == "Moskva"
+    assert normalize_diacritics("щука") == "shchuka"
+    assert normalize_diacritics("объём") == "obem"  # hard sign drops, ё→e
+    # Russian-convention table: ukr. и→i, ї decomposes to і then i
+    assert normalize_diacritics("Київ") == "Kiiv"
+    # composed й and decomposed и + breve romanize identically
+    assert normalize_diacritics("йод") == normalize_diacritics("йод") == "iod"
+    # CJK passes through (documented divergence from unidecode)
+    assert normalize_diacritics("漢字") == "漢字"
+    cfg = TextPreprocessorConfig(
+        stemmer=None, stopwords=None, do_diacritics_normalization=True,
+        do_ampersand_normalization=False, do_special_chars_normalization=False,
+        do_acronyms_normalization=False, do_punctuation_removal=False,
+    )
+    assert make_processor(cfg)("Москва слезам") == ["moskva", "slezam"]
+
+
 # Hand-traced from the published Snowball specs (snowballstem.org); each
 # pair was walked through the algorithm text step by step.
 GERMAN_GOLDENS = [
