@@ -243,13 +243,13 @@ def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple
             "--one", str(cores), tpath, str(n_turns), mode,
         ],
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
         text=True,
         cwd=REPO,
         start_new_session=True,  # own pgid: the JVM grandchild dies with it
     )
     try:
-        out, _ = proc.communicate(timeout=_leg_timeout_s(cores, n_turns))
+        out, err = proc.communicate(timeout=_leg_timeout_s(cores, n_turns))
     except subprocess.TimeoutExpired:
         try:
             os.killpg(proc.pid, signal.SIGKILL)
@@ -258,7 +258,8 @@ def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple
         proc.wait()
         raise LegTimeout(f"{cores}-core leg exceeded {_leg_timeout_s(cores, n_turns):.0f}s")
     if proc.returncode != 0:
-        raise RuntimeError(f"{cores}-core leg failed rc={proc.returncode}")
+        tail = " | ".join(err.strip().splitlines()[-15:])
+        raise RuntimeError(f"{cores}-core leg failed rc={proc.returncode}: {tail}")
     last = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(last)
     return n_turns / rec["seconds"], n_turns / rec["seconds_cold"]
@@ -371,6 +372,11 @@ def main() -> None:
             except LegTimeout as exc:
                 emit(fh, {"event": "trial_aborted", "attempt": attempts,
                           "reason": str(exc), "probe_pre": pr0})
+                continue
+            except RuntimeError as exc:
+                emit(fh, {"event": "trial_failed", "attempt": attempts,
+                          "reason": str(exc)[:2000], "probe_pre": pr0})
+                time.sleep(20)
                 continue
             all_bw = [p["agg_bw_gbps"] for p in (pr0, pr1, pr2)]
             all_fault = [p["fault_mbps"] for p in (pr0, pr1, pr2)]
