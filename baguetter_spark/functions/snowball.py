@@ -322,9 +322,17 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.snowball_scandi import stem_da
 
         return stem_da
+    if n in ("romanian", "ro"):
+        from baguetter_spark.functions.snowball_ro import stem as stem_ro
+
+        return stem_ro
+    if n == "porter":
+        from baguetter_spark.functions.porter import stem as stem_porter
+
+        return stem_porter
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
-        f"norwegian, danish)."
+        f"norwegian, danish, romanian, porter)."
     )
     raise ValueError(msg)

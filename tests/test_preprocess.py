@@ -497,3 +497,84 @@ def test_new_stemmers_registered_with_aliases():
                  ("it", "italian"), ("nl", "dutch"),
                  ("sv", "swedish"), ("no", "norwegian"), ("da", "danish")):
         assert get_stemmer(a) is get_stemmer(b)
+
+
+# Romanian: hand-traced from the snowballstem.org spec (see snowball_ro.py;
+# covers step 0 plural reduction, the "ile not after ab" guard, step 1
+# combining-suffix chains, step 2 standard suffixes, step 3 verb endings
+# from both groups, step 4 final vowel, and ş/ţ cedilla-vs-comma forms).
+ROMANIAN_GOLDENS = [
+    ("lucrurilor", "lucrur"),        # step 0 ilor -> i, then final i
+    ("copiilor", "cop"),             # step 0 iilor -> i
+    ("cartea", "cart"),              # step 0 ea -> e, step 4 e
+    ("amabile", "amabil"),           # "ile" NOT stripped after "ab"
+    ("contabilitate", "contabil"),   # step 1 abilitate -> abil
+    ("administraţiune", "administr"),  # step 1 aţiune -> at, step 2 at
+    ("naţionali", "naţional"),       # step 4 residual i
+    ("națională", "naţional"),       # comma-below forms normalized
+    ("cânta", "cânt"),               # step 4 final a
+    ("cântaserăţi", "cânt"),         # step 3 unconditional verb group
+    ("lucrează", "lucr"),            # step 3 conditional group (after cons)
+    ("românească", "român"),         # step 3 ească
+    ("acţiune", "acţiun"),           # short word: ţiune not in R2
+]
+
+
+def test_romanian_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("romanian")
+    for w, e in ROMANIAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("ro") is st
+
+
+# Original Porter (1980): worked examples from the paper, chained through
+# the full pipeline (so e.g. relational -> relate (step 2) -> relat
+# (step 4)); matches the canonical porter test vocabulary output.
+PORTER_GOLDENS = [
+    ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("hopping", "hop"),
+    ("tanned", "tan"), ("falling", "fall"), ("hissing", "hiss"),
+    ("fizzed", "fizz"), ("filing", "file"), ("happy", "happi"),
+    ("sky", "sky"), ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("digitizer", "digit"),
+    ("conformabli", "conform"), ("radicalli", "radic"),
+    ("differentli", "differ"), ("analogousli", "analog"),
+    ("vietnamization", "vietnam"), ("predication", "predic"),
+    ("operator", "oper"), ("feudalism", "feudal"),
+    ("decisiveness", "decis"), ("hopefulness", "hope"),
+    ("formaliti", "formal"), ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"), ("formative", "form"),
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"), ("goodness", "good"), ("revival", "reviv"),
+    ("allowance", "allow"), ("inference", "infer"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("replacement", "replac"), ("adoption", "adopt"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("effective", "effect"), ("probate", "probat"), ("rate", "rate"),
+    ("cease", "ceas"), ("controll", "control"), ("roll", "roll"),
+]
+
+
+def test_porter_original_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("porter")
+    for w, e in PORTER_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_porter_differs_from_porter2_where_documented():
+    # porter2 (Snowball English) and original porter are different
+    # algorithms; spot-check a known divergence so the registry keeping
+    # both entries distinct is load-bearing.
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    porter = get_stemmer("porter")
+    porter2 = get_stemmer("english")
+    assert porter is not porter2
+    # 'ies' -> 'i' in porter; porter2 maps short -ies to -ie ("ties"->"tie")
+    assert porter("ties") == "ti"
+    assert porter2("ties") == "tie"
