@@ -51,8 +51,27 @@ def summarize(path: str) -> dict:
     if not starts:
         raise SystemExit(f"no campaign_start in {path}")
     cfg = starts[-1]
-    clean = [t for t in trials if t.get("clean")]
-    dirty = [t for t in trials if not t.get("clean")]
+
+    # Re-derive cleanliness from each trial's RECORDED probe readings under
+    # the LATEST campaign's gates, so trials appended by earlier sessions
+    # under looser gates are re-classified consistently (the jsonl keeps all
+    # bracketing probes per trial precisely so the gate can be re-applied).
+    gate_bw = float(cfg["gate_bw_gbps"])
+    gate_fault = float(cfg["gate_fault_mbps"])
+
+    def is_clean(t: dict) -> bool:
+        ps = [t.get("probe_pre"), t.get("probe_mid"), t.get("probe_post")]
+        if any(p is None for p in ps):
+            return bool(t.get("clean"))
+        return all(
+            p.get("agg_bw_gbps") is not None
+            and p["agg_bw_gbps"] >= gate_bw
+            and p.get("fault_mbps", 0.0) >= gate_fault
+            for p in ps
+        )
+
+    clean = [t for t in trials if is_clean(t)]
+    dirty = [t for t in trials if not is_clean(t)]
     out = {
         "source": path,
         "n_turns": cfg["n_turns"],
