@@ -54,12 +54,28 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # Keep-memory-resident tuning (same as scripts/bench_scaling.py — see
+    # README "Benchmark weather protocol"): on this sandbox, pages returned
+    # to the OS are handed back to the host and refault at the throttled
+    # lazy-backing rate, so allocators must hold arenas.  Set before the
+    # JVM / Python workers are forked (they inherit the env); no-ops on a
+    # normal host beyond standard long-lived-executor tuning.
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = str(256 * 1024 * 1024)
+    os.environ["ARROW_DEFAULT_MEMORY_POOL"] = "system"
+
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("baguetter-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "24g")
+        .config("spark.driver.extraJavaOptions", "-Xms24g")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024)
+        )
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
