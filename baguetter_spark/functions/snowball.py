@@ -330,9 +330,17 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.porter import stem as stem_porter
 
         return stem_porter
+    if n == "lancaster":
+        from baguetter_spark.functions.lancaster import stem as stem_lancaster
+
+        return stem_lancaster
+    if n == "cistem":
+        from baguetter_spark.functions.cistem import stem as stem_cistem
+
+        return stem_cistem
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
-        f"norwegian, danish, romanian, porter)."
+        f"norwegian, danish, romanian, porter, lancaster, cistem)."
     )
     raise ValueError(msg)

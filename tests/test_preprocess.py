@@ -578,3 +578,62 @@ def test_porter_differs_from_porter2_where_documented():
     # 'ies' -> 'i' in porter; porter2 maps short -ies to -ie ("ties"->"tie")
     assert porter("ties") == "ti"
     assert porter2("ties") == "tie"
+
+
+# CISTEM (German): hand-traced from the published algorithm (Weissweiler &
+# Fraser 2017, Algorithm 1; see cistem.py).  Covers umlaut/ss folding, the
+# ge- prefix strip, sch/ei/ie digraph protection, double-letter protection,
+# the title-case -t guard, and the >5 / >3 length regimes.
+CISTEM_GOLDENS = [
+    ("telefonieren", "telefonier"),   # ie protected; -en -> -e -> stop
+    ("häufig", "haufig"),             # umlaut fold only
+    ("Universität", "universitat"),   # title case: final -t kept
+    ("universität", "universita"),    # lowercase: final -t stripped
+    ("schönes", "schon"),             # sch protected; -es stripped
+    ("keinen", "kein"),               # ei protected
+    ("Affen", "aff"),                 # ff collapses, protected, restored
+    ("gelaufen", "lauf"),             # ge- strip (>=4 chars follow)
+    ("geh", "geh"),                   # no ge- strip on short words
+    ("gegeben", "geb"),               # strips only the FIRST ge-
+    ("krankheiten", "krankhei"),      # -en, -t in the lowercase branch
+    ("zusammengehörigkeit", "zusammengehorigkei"),
+    ("Zusammengehörigkeit", "zusammengehorigkeit"),  # noun keeps -t
+]
+
+
+def test_cistem_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("cistem")
+    for w, e in CISTEM_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+# Lancaster (Paice/Husk 1990): hand-traced through the published rule
+# table (see lancaster.py).  Covers intact-only rules, protect (remove-0)
+# rules, append strings, the vowel/consonant acceptability conditions, and
+# rule chaining via '>'.
+LANCASTER_GOLDENS = [
+    ("maximum", "maxim"),        # mu*2. intact rule
+    ("presumably", "presum"),    # ylb1> -> lba3> chain
+    ("provision", "provid"),     # nois4j> append 'j', then ji1d.
+    ("owed", "ow"),              # de2>; vowel-initial 2-letter stem ok
+    ("ear", "ear"),              # rae0. protect rule
+    ("saying", "say"),           # gni3>; 'y' counts as vowel in stem
+    ("crying", "cry"),
+    ("string", "string"),        # gni3> rejected: no vowel would remain
+    ("meant", "meant"),          # tna3> rejected: 2-letter consonant stem
+    ("classified", "class"),     # dei3y> -> yfi3. chain
+    ("multiply", "multiply"),    # ylp0. protect rule
+    ("cement", "cem"),           # tnem4> rejected, tne3> accepted
+    ("kilometer", "kilomet"),    # re2> then no 't' rule matches
+    ("news", "new"),             # s0. protect comes after s*1> intact
+]
+
+
+def test_lancaster_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("lancaster")
+    for w, e in LANCASTER_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
