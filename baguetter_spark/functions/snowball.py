@@ -330,6 +330,10 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.porter import stem as stem_porter
 
         return stem_porter
+    if n in ("finnish", "fi"):
+        from baguetter_spark.functions.snowball_fi import stem as stem_fi
+
+        return stem_fi
     if n == "lancaster":
         from baguetter_spark.functions.lancaster import stem as stem_lancaster
 

@@ -637,3 +637,37 @@ def test_lancaster_stemmer_goldens():
     st = get_stemmer("lancaster")
     for w, e in LANCASTER_GOLDENS:
         assert st(w) == e, (w, st(w), e)
+
+
+# Finnish: hand-traced from the snowballstem.org spec (see snowball_fi.py;
+# covers particles with the n/t/vowel guard, possessives incl. the an/än
+# preceded-by lists, case endings (plain, hXn, n+LONG/ie), the i/j vs t
+# plural split, and every tidy rule incl. the unrestricted double-consonant
+# step e).
+FINNISH_GOLDENS = [
+    ("edeltäjistään", "edeltäj"),    # än possessive, stä case, i plural
+    ("taloissa", "talo"),            # ssa case + i plural
+    ("koirissa", "koir"),
+    ("koiran", "koira"),             # n case; 'a' kept (no cv before it)
+    ("olisiko", "oli"),              # ko particle after vowel, si possessive
+    ("nopeasti", "nopeast"),         # sti NOT in R2; tidy b drops final i
+    ("järjestelmään", "järjestelm"), # n + LONG undouble, tidy b
+    ("ihmisille", "ihmis"),          # lle case + tidy b
+    ("presidentti", "president"),    # tidy b + double-consonant e
+    ("lapsetkaan", "laps"),          # kaan particle after t, t-plural
+    ("aatonaatto", "aatonaato"),     # spec's own step-e example
+    ("eläkkeellä", "eläk"),          # llä case, tidy a + e chain
+    ("kaikkien", "kaik"),            # n + ie undouble, i plural, step e
+    ("voineet", "voine"),            # t plural + tidy a
+    ("puhuttaessa", "puhutae"),      # step e behind trailing vowels
+    ("suurimman", "suurim"),
+]
+
+
+def test_finnish_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("finnish")
+    for w, e in FINNISH_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("fi") is st
