@@ -335,6 +335,7 @@ def main() -> None:
     out_path = flags.get(
         "--out", os.path.join(REPO, "BENCH", f"scaling_r3_{n_turns}_gated.jsonl")
     )
+    bench_jsonl = flags.get("--bench-jsonl")
 
     tpath = fixture_path(n_turns)
 
@@ -415,6 +416,27 @@ def main() -> None:
                 "eff": round(w_4n / (4 * w_n), 3),
                 "clean_recorded": len(clean_n),
             })
+            if clean and bench_jsonl:
+                # a clean post-trial probe means the window is still open —
+                # the cheapest moment all campaign to grab the ~90 s gated
+                # headline bench the round also owes (same record format
+                # as scripts/bench_gated.py)
+                from bench_gated import run_bench
+
+                res = run_bench()
+                pr3 = probes()
+                bclean = res is not None and all(
+                    p["agg_bw_gbps"] is not None
+                    and p["agg_bw_gbps"] >= gate_bw
+                    and p["fault_mbps"] >= gate_fault
+                    for p in (pr2, pr3)
+                )
+                with open(bench_jsonl, "a") as bfh:
+                    bline = {"event": "bench_run", "clean": bclean,
+                             "probe_pre": pr2, "probe_post": pr3,
+                             "result": res, "after_trial": attempts}
+                    bfh.write(json.dumps(bline) + "\n")
+                print(json.dumps(bline), flush=True)
 
         summary = {
             "event": "summary",
