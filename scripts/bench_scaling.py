@@ -349,12 +349,107 @@ def main() -> None:
         fh.write(json.dumps(line) + "\n")
         fh.flush()
 
+    leg_mode = bool(int(flags.get("--leg-mode", "0")))
+
     with open(out_path, "a") as fh:
         emit(fh, {"event": "campaign_start", "n_turns": n_turns,
                   "cores_N": n_cores, "cores_4N": n_cores * 4,
                   "want_clean": want_clean, "gate_bw_gbps": gate_bw,
-                  "gate_fault_mbps": gate_fault, "mode": mode})
+                  "gate_fault_mbps": gate_fault, "mode": mode,
+                  "leg_mode": leg_mode})
         t_start = time.time()
+        if leg_mode:
+            # Protocol v3: gate LEGS independently instead of same-window
+            # trial pairs.  A full trial needs one ~25 min clean window (4N
+            # cold+warm, probes, N cold+warm); on a box whose clean windows
+            # are scarce and short that records nothing.  The claim under
+            # test is about the JOB at each parallelism, not about pairs
+            # measured in the same instant — so each leg is bracketed by
+            # its own probes, records clean on its own, and the official
+            # eff = median(clean 4N legs) / (4 * median(clean N legs))
+            # (summarize_scaling.py re-derives this from the event log).
+            n_bench = 0
+            while (
+                (len(clean_n) < want_clean or len(clean_4n) < want_clean)
+                and attempts < max_attempts
+                and time.time() - t_start < max_seconds
+            ):
+                pr0 = probes()
+                if (
+                    pr0["agg_bw_gbps"] is None
+                    or pr0["agg_bw_gbps"] < gate_bw
+                    or pr0["fault_mbps"] < gate_fault
+                ):
+                    skips += 1
+                    emit(fh, {"event": "skip_dirty_window", **pr0,
+                              "skips": skips})
+                    time.sleep(30)
+                    continue
+                attempts += 1
+                # the side with fewer clean samples gets the window; tie →
+                # 4N (the weather-sensitive leg)
+                is_4n = len(clean_4n) <= len(clean_n)
+                cores = n_cores * 4 if is_4n else n_cores
+                try:
+                    warm, cold = measure(cores, tpath, n_turns, mode)
+                except LegTimeout as exc:
+                    emit(fh, {"event": "leg_aborted", "attempt": attempts,
+                              "cores": cores, "reason": str(exc),
+                              "probe_pre": pr0})
+                    continue
+                except RuntimeError as exc:
+                    emit(fh, {"event": "leg_failed", "attempt": attempts,
+                              "cores": cores, "reason": str(exc)[:2000]})
+                    time.sleep(20)
+                    continue
+                pr1 = probes()
+                clean = all(
+                    p["agg_bw_gbps"] is not None
+                    and p["agg_bw_gbps"] >= gate_bw
+                    and p["fault_mbps"] >= gate_fault
+                    for p in (pr0, pr1)
+                )
+                if clean:
+                    (clean_4n if is_4n else clean_n).append(warm)
+                emit(fh, {
+                    "event": "leg", "attempt": attempts, "cores": cores,
+                    "is_4n": is_4n, "clean": clean,
+                    "probe_pre": pr0, "probe_post": pr1,
+                    "turns_per_sec": round(warm, 1),
+                    "turns_per_sec_coldrun": round(cold, 1),
+                    "clean_recorded_N": len(clean_n),
+                    "clean_recorded_4N": len(clean_4n),
+                })
+                if clean and bench_jsonl and n_bench < 3:
+                    from bench_gated import run_bench
+
+                    res = run_bench()
+                    pr2b = probes()
+                    bclean = res is not None and all(
+                        p["agg_bw_gbps"] is not None
+                        and p["agg_bw_gbps"] >= gate_bw
+                        and p["fault_mbps"] >= gate_fault
+                        for p in (pr1, pr2b)
+                    )
+                    if bclean:
+                        n_bench += 1
+                    with open(bench_jsonl, "a") as bfh:
+                        bline = {"event": "bench_run", "clean": bclean,
+                                 "probe_pre": pr1, "probe_post": pr2b,
+                                 "result": res, "after_leg": attempts}
+                        bfh.write(json.dumps(bline) + "\n")
+                    print(json.dumps(bline), flush=True)
+            summary = {
+                "event": "summary", "leg_mode": True,
+                "clean_legs_N": len(clean_n),
+                "clean_legs_4N": len(clean_4n),
+            }
+            if clean_n and clean_4n:
+                med_n = sorted(clean_n)[len(clean_n) // 2]
+                med_4n = sorted(clean_4n)[len(clean_4n) // 2]
+                summary["eff"] = round(med_4n / (4 * med_n), 3)
+            emit(fh, summary)
+            return
         while (
             len(clean_n) < want_clean
             and attempts < max_attempts

@@ -30,6 +30,7 @@ def _median(xs: list[float]) -> float:
 def summarize(path: str) -> dict:
     starts: list[dict] = []
     trials: list[dict] = []
+    legs: list[dict] = []
     skips = aborted = failed = 0
     with open(path) as fh:
         for line in fh:
@@ -42,11 +43,13 @@ def summarize(path: str) -> dict:
                 starts.append(ev)
             elif kind == "trial":
                 trials.append(ev)
+            elif kind == "leg":
+                legs.append(ev)
             elif kind == "skip_dirty_window":
                 skips += 1
-            elif kind == "trial_aborted":
+            elif kind in ("trial_aborted", "leg_aborted"):
                 aborted += 1
-            elif kind == "trial_failed":
+            elif kind in ("trial_failed", "leg_failed"):
                 failed += 1
     if not starts:
         raise SystemExit(f"no campaign_start in {path}")
@@ -70,8 +73,29 @@ def summarize(path: str) -> dict:
             for p in ps
         )
 
+    def leg_is_clean(t: dict) -> bool:
+        ps = [t.get("probe_pre"), t.get("probe_post")]
+        if any(p is None for p in ps):
+            return bool(t.get("clean"))
+        return all(
+            p.get("agg_bw_gbps") is not None
+            and p["agg_bw_gbps"] >= gate_bw
+            and p.get("fault_mbps", 0.0) >= gate_fault
+            for p in ps
+        )
+
     clean = [t for t in trials if is_clean(t)]
     dirty = [t for t in trials if not is_clean(t)]
+    # protocol v3: independently-gated legs; clean trials contribute their
+    # two legs to the same per-leg pools
+    clean_legs = [t for t in legs if leg_is_clean(t)]
+    dirty_legs = [t for t in legs if not leg_is_clean(t)]
+    pool_n = [t["turns_per_sec_N"] for t in clean] + [
+        t["turns_per_sec"] for t in clean_legs if not t["is_4n"]
+    ]
+    pool_4n = [t["turns_per_sec_4N"] for t in clean] + [
+        t["turns_per_sec"] for t in clean_legs if t["is_4n"]
+    ]
     out = {
         "source": path,
         "n_turns": cfg["n_turns"],
@@ -89,22 +113,35 @@ def summarize(path: str) -> dict:
         "pinned": "taskset",
         "measured_run": "2nd build in warmed JVM (cold run logged)",
     }
-    if clean:
-        n = [t["turns_per_sec_N"] for t in clean]
-        n4 = [t["turns_per_sec_4N"] for t in clean]
+    out["legs_total"] = len(legs)
+    out["legs_clean_N"] = len([t for t in clean_legs if not t["is_4n"]])
+    out["legs_clean_4N"] = len([t for t in clean_legs if t["is_4n"]])
+    if pool_n and pool_4n:
         out.update(
             {
-                "turns_per_sec_N": round(_median(n), 1),
-                "turns_per_sec_4N": round(_median(n4), 1),
-                "scaling_efficiency": round(_median(n4) / (4 * _median(n)), 3),
-                "per_trial_eff": [t["eff"] for t in clean],
-                "eff_median_of_trials": round(_median([t["eff"] for t in clean]), 3),
-                "best_N": round(max(n), 1),
-                "best_4N": round(max(n4), 1),
+                "turns_per_sec_N": round(_median(pool_n), 1),
+                "turns_per_sec_4N": round(_median(pool_4n), 1),
+                "scaling_efficiency": round(
+                    _median(pool_4n) / (4 * _median(pool_n)), 3
+                ),
+                "n_samples_N": len(pool_n),
+                "n_samples_4N": len(pool_4n),
+                "best_N": round(max(pool_n), 1),
+                "best_4N": round(max(pool_4n), 1),
             }
+        )
+    if clean:
+        out["per_trial_eff"] = [t["eff"] for t in clean]
+        out["eff_median_of_trials"] = round(
+            _median([t["eff"] for t in clean]), 3
         )
     if dirty:
         out["dirty_eff_for_context"] = [t["eff"] for t in dirty]
+    if dirty_legs:
+        out["dirty_legs_for_context"] = [
+            {"cores": t["cores"], "turns_per_sec": t["turns_per_sec"]}
+            for t in dirty_legs
+        ]
     return out
 
 
