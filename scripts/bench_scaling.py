@@ -100,7 +100,10 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"scaling-{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SCALING_SHUFFLE_PARTITIONS", str(max(cores * 2, 16))),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "20g")
         .config("spark.driver.extraJavaOptions", "-Xms20g")
