@@ -125,27 +125,44 @@ def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -
 
     warm.mapInPandas(_noop, schema="conv_id string").count()
 
-    times = []
-    for _run in range(2):
+    def one_build(df) -> float:
         t0 = time.time()
         idx = build_index(
             spark,
-            transcripts,
+            df,
             SparseIndexConfig(preprocessor=TextPreprocessorConfig()),
             assume_sorted=(mode == "sorted"),
         )
         idx.postings.count()
         idx.doc_map.count()  # materialize the full index, not just postings
-        times.append(time.time() - t0)
+        dt = time.time() - t0
         idx.postings.unpersist()
         idx.doc_map.unpersist()
         idx.vocab.unpersist()
-        # drop build-internal persists (tf, term_stats) too: run 2 must not
-        # run under run 1's lingering storage pressure, and must redo the
-        # identical work from the parquet scan
+        # drop build-internal persists (tf, term_stats) too: the next run
+        # must not sit under this run's lingering storage pressure, and
+        # must redo the identical work from the parquet scan
         spark.catalog.clearCache()
+        return dt
+
+    warmup_path = os.environ.get("SCALING_WARMUP_PATH")
+    if warmup_path:
+        # protocol v4 (clean windows shorter than a full-size double run):
+        # warm codegen / worker arenas / shuffle paths with a SMALL
+        # unmeasured build, then measure ONE full-size run.  In the clean
+        # windows where legs record, page faults are cheap (>1 GB/s), so
+        # the full-size cold run the old protocol used as warmup bought
+        # little and doubled the window length a leg needs — the measured
+        # single run sits within ~7% of a fully-warm run (BASELINE.md,
+        # round-3 leg forensics).
+        one_build(spark.read.parquet(warmup_path))
+        dt = one_build(transcripts)
+        print(json.dumps({"seconds": dt, "seconds_cold": None,
+                          "warmup": os.path.basename(warmup_path)}))
+    else:
+        times = [one_build(transcripts) for _run in range(2)]
+        print(json.dumps({"seconds": times[1], "seconds_cold": times[0]}))
     spark.stop()
-    print(json.dumps({"seconds": times[1], "seconds_cold": times[0]}))
 
 
 def _probe_child(seconds: float) -> None:
@@ -275,7 +292,8 @@ def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple
         raise RuntimeError(f"{cores}-core leg failed rc={proc.returncode}: {tail}")
     last = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(last)
-    return n_turns / rec["seconds"], n_turns / rec["seconds_cold"]
+    cold = rec.get("seconds_cold")
+    return n_turns / rec["seconds"], (n_turns / cold if cold else 0.0)
 
 
 def _median(xs: list[float]) -> float:
@@ -361,6 +379,11 @@ def main() -> None:
                   "gate_fault_mbps": gate_fault, "mode": mode,
                   "leg_mode": leg_mode})
         t_start = time.time()
+        warmup_turns = int(flags.get("--warmup-turns", "200000"))
+        if leg_mode and warmup_turns:
+            # protocol v4: legs warm up on a small build and measure one
+            # full-size run (fits legs into this box's ~6 min clean windows)
+            os.environ["SCALING_WARMUP_PATH"] = fixture_path(warmup_turns)
         if leg_mode:
             # Protocol v3: gate LEGS independently instead of same-window
             # trial pairs.  A full trial needs one ~25 min clean window (4N
