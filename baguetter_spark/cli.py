@@ -113,7 +113,7 @@ def cmd_search(args: argparse.Namespace) -> int:
         queries,
         top_k=args.top_k,
         parity=False,
-        pruned=args.pruned,
+        pruned={None: False, "true": True, "blockmax": "blockmax"}[args.pruned],
         empty_query=args.empty_query,
     )
     if args.output:
@@ -201,7 +201,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--query", action="append", default=[], help="inline query text (repeatable)"
     )
     s.add_argument("--top-k", dest="top_k", type=int, default=10)
-    s.add_argument("--pruned", action="store_true", help="block-max MaxScore pruning")
+    s.add_argument(
+        "--pruned", nargs="?", const="true", default=None,
+        choices=["true", "blockmax"],
+        help="rank-safe pruning: bare flag = per-block MaxScore; "
+        "'blockmax' additionally θ-skips whole doc-range blocks",
+    )
     s.add_argument(
         "--empty-query", dest="empty_query", default="empty",
         choices=["empty", "reference"],

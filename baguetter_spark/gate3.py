@@ -62,6 +62,25 @@ def pruned_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(res)
 
 
+def blockmax_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockmax (two-phase block-skipping) search must reproduce the
+    exhaustive lucene top-k.  Built with block_doc_range=256 so the corpus
+    splits into many doc-range blocks and phase B's θ-gated skipping is
+    actually exercised (the default 2^16 range would put the whole sf0.01
+    corpus in one block, reducing this row to the plain pruned row)."""
+    cfg = SparseIndexConfig(
+        dtype="float64", preprocessor=GATE_PREPROCESSOR, block_doc_range=256
+    )
+    from baguetter_spark.gate import documents_as_transcripts
+    from baguetter_spark.operators.indexer import build_index
+
+    index = build_index(spark, documents_as_transcripts(spark, sf_dir), cfg)
+    res = score_queries(
+        index, _gate_query_df(spark), top_k=60, pruned="blockmax"
+    )
+    return _rounded_topk(res)
+
+
 def merge_equals_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segments [doc_id < split] + [doc_id >= split] merged ==
     full-corpus build (digest compared against the full-corpus oracle)."""
@@ -263,6 +282,7 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_pruned": pruned_topk_query,
+        "bm25_topk_blockmax": blockmax_topk_query,
         "merge_equals_rebuild": merge_equals_rebuild_query,
         "resumable_build_digest": resumable_build_digest_query,
         "streaming_ingest_digest": streaming_ingest_digest_query,
@@ -275,6 +295,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def gate3_oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_pruned": bm25_topk_sql("lucene"),
+        "bm25_topk_blockmax": bm25_topk_sql("lucene"),
         "merge_equals_rebuild": POSTINGS_DIGEST_SQL,
         "resumable_build_digest": POSTINGS_DIGEST_SQL,
         "streaming_ingest_digest": STREAMING_INGEST_SQL,

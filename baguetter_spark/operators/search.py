@@ -131,14 +131,28 @@ def score_queries(
     top_k: int = 100,
     parity: bool = True,
     normalize: bool | None = None,
-    pruned: bool = False,
+    pruned: bool | str = False,
     empty_query: str = "empty",
+    probe_blocks: int = 2,
 ) -> DataFrame:
     """Returns results(query_id, rank, doc_id, score) — canonical tie order.
 
     ``pruned=True`` routes through the rank-safe block-max MaxScore kernel
     (wand.py) instead of exhaustive scoring; implies ``parity=False`` score
     arithmetic (float64) but identical doc sets/ranks (property-tested).
+
+    ``pruned="blockmax"`` additionally skips ENTIRE doc-range blocks whose
+    query upper bound (sum over query terms of weight * per-block max
+    impact, metadata written at index time) cannot reach the running top-k
+    threshold: phase A scores the ``probe_blocks`` most-promising blocks per
+    query exactly (doc ranges partition docs, so a local candidate's score
+    is its exact final score), the k-th phase-A score becomes θ, and phase B
+    scores only blocks with bound >= θ (an epsilon-margin keep guards f64
+    summation-order ulps; ties at θ are kept, so canonical tie order is
+    preserved).  At sf-bench scale (1-2 blocks) this is pure overhead; at
+    10^12 turns (~10^7 blocks) it is the block-max WAND scan-skip that makes
+    selective queries sublinear in corpus size.  Rank-safe: a doc in a
+    skipped block has score <= block bound < θ <= true k-th score.
 
     ``empty_query``: "empty" (default) returns only matched docs; "reference"
     pads every query to exactly min(top_k, n_docs) rows with zero-score docs
@@ -150,6 +164,9 @@ def score_queries(
     normalize = cfg.normalize_scores if normalize is None else normalize
     if empty_query not in ("empty", "reference"):
         msg = f"empty_query must be 'empty' or 'reference', got {empty_query!r}"
+        raise ValueError(msg)
+    if pruned not in (False, True, "blockmax"):
+        msg = f"pruned must be False, True or 'blockmax', got {pruned!r}"
         raise ValueError(msg)
     if pruned and "weight" in queries.columns:
         # Rank-safety guard: MaxScore's suffix bound assumes every term's
@@ -219,9 +236,72 @@ def score_queries(
                 {"query_id": np.full(len(ids), qid, dtype=object), "doc_idx": ids, "score": sc}
             )
 
-        scores = joined.groupBy("query_id", "block_id").applyInPandas(
-            local_topk, schema="query_id string, doc_idx long, score double"
-        )
+        topk_schema = "query_id string, doc_idx long, score double"
+        if pruned == "blockmax":
+            # --- phase 0: per-(query, block) upper bounds from block_max
+            # metadata.  Narrow projection — parquet column pruning keeps the
+            # posting payload (doc_ids_delta/impacts) out of this scan.
+            ub = (
+                postings.join(F.broadcast(qterms), "term_id")
+                .select(
+                    "query_id",
+                    "block_id",
+                    (
+                        F.col("weight").cast("double")
+                        * F.col("block_max").cast("double")
+                    ).alias("ubc"),
+                )
+                .groupBy("query_id", "block_id")
+                .agg(F.sum("ubc").alias("ub"))
+            )
+            wb = Window.partitionBy("query_id").orderBy(
+                F.desc("ub"), F.col("block_id").asc()
+            )
+            ub = ub.withColumn("brank", F.row_number().over(wb))
+            # --- phase A: exact top-k inside the most-promising blocks ---
+            probe = ub.where(F.col("brank") <= probe_blocks).select(
+                "query_id", "block_id"
+            )
+            cand_a = (
+                joined.join(F.broadcast(probe), ["query_id", "block_id"])
+                .groupBy("query_id", "block_id")
+                .applyInPandas(local_topk, schema=topk_schema)
+            )
+            # tiny (<= queries * probe_blocks * k rows); reused for θ + union
+            cand_a = cand_a.persist()
+            wk = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.col("doc_idx").asc()
+            )
+            theta = (
+                cand_a.withColumn("r", F.row_number().over(wk))
+                .where(F.col("r") == top_k)
+                .select("query_id", F.col("score").alias("theta"))
+            )
+            # --- phase B: only blocks whose bound can still matter.  The
+            # epsilon keep-margin covers f64 summation-order ulps (ub and the
+            # kernel sum contributions in different orders); scores are >= 0
+            # here (negative weights fell back to exhaustive above).
+            keep = (
+                ub.where(F.col("brank") > probe_blocks)
+                .join(theta, "query_id", "left")
+                .where(
+                    F.col("theta").isNull()
+                    | (F.col("ub") >= F.col("theta") * (1.0 - 1e-9) - 1e-12)
+                )
+                .select("query_id", "block_id")
+            )
+            cand_b = (
+                joined.join(keep, ["query_id", "block_id"])
+                .groupBy("query_id", "block_id")
+                .applyInPandas(local_topk, schema=topk_schema)
+            )
+            # doc ranges partition docs → a doc appears in exactly one block;
+            # the union is duplicate-free by construction
+            scores = cand_a.unionByName(cand_b)
+        else:
+            scores = joined.groupBy("query_id", "block_id").applyInPandas(
+                local_topk, schema=topk_schema
+            )
     elif parity:
         if dtype != "float32":
             msg = "parity mode requires dtype='float32' (the reference's default)"

@@ -88,6 +88,11 @@ def maxscore_topk(
             cand_scores[match] += c[pos_c[match]]
 
     if len(cand_ids) > k:
-        keep = np.argpartition(cand_scores, -k)[-k:]
+        # canonical tie order (score desc, doc_id asc): with exact ties at
+        # the k-th boundary, argpartition would keep an arbitrary subset and
+        # the global top-k could then miss the canonically-preferred (lowest
+        # doc id) docs — lexsort keeps exactly the docs the exhaustive path's
+        # (score desc, doc_idx asc) window would rank first
+        keep = np.lexsort((cand_ids, -cand_scores))[:k]
         return cand_ids[keep], cand_scores[keep]
     return cand_ids, cand_scores

@@ -33,7 +33,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-from bench_scaling import fault_probe, fixture_path  # noqa: E402
+from bench_scaling import FOREGROUND_LOCK, fault_probe, fixture_path  # noqa: E402
 
 
 def run_leg(tree: str, cores: int, tpath: str, n_turns: int) -> dict | None:
@@ -87,6 +87,11 @@ def main() -> None:
     )
     tpath = os.path.abspath(fixture_path(n_turns))
 
+    # hold the campaign interlock: the gated scaling campaign pauses while
+    # this file exists, so our legs neither poison nor steal its windows
+    with open(FOREGROUND_LOCK, "w") as lf:
+        lf.write(f"ab_compare pid {os.getpid()}\n")
+
     ratios = []
     with open(out_path, "a") as fh:
         header = {
@@ -125,6 +130,8 @@ def main() -> None:
         }
         fh.write(json.dumps(summary) + "\n")
         print(json.dumps(summary), flush=True)
+    if os.path.exists(FOREGROUND_LOCK):
+        os.remove(FOREGROUND_LOCK)
 
 
 if __name__ == "__main__":

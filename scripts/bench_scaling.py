@@ -69,6 +69,9 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 HEALTHY_BW_GBPS = 90.0  # 8-proc aggregate prefaulted copy, idle guest
 DEFAULT_GATE_BW = 45.0  # worst bw reading ever observed on this boot is 61.8
 DEFAULT_GATE_FAULT = 1000.0  # healthy lazy-backing regime; throttled = 2-160
+# touched by foreground experiments (pytest, ab_compare) so the campaign
+# pauses instead of measuring a window we contended ourselves
+FOREGROUND_LOCK = os.path.join(REPO, "BENCH", ".foreground_lock")
 SKIP_BW = 8.0  # below these the window is hopeless: skip the trial
 SKIP_FAULT = 40.0
 
@@ -400,6 +403,14 @@ def main() -> None:
                 and attempts < max_attempts
                 and time.time() - t_start < max_seconds
             ):
+                # interlock: a foreground experiment (pytest, A/B harness)
+                # holds this lockfile so the campaign neither measures a
+                # self-contended window nor records a leg poisoned by our
+                # own load (probes can't tell host weather from our load)
+                if os.path.exists(FOREGROUND_LOCK):
+                    emit(fh, {"event": "skip_foreground_lock"})
+                    time.sleep(30)
+                    continue
                 pr0 = probes()
                 if (
                     pr0["agg_bw_gbps"] is None

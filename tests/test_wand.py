@@ -61,18 +61,19 @@ def test_empty_terms():
     assert len(ids) == 0
 
 
-def test_spark_pruned_equals_exhaustive(spark):
+@pytest.mark.parametrize("mode", [True, "blockmax"])
+def test_spark_pruned_equals_exhaustive(spark, mode):
     corpus = gen_transcripts(120, 15, seed=17, vocab_size=200)
     cfg = SparseIndexConfig(
         preprocessor=TextPreprocessorConfig.parity(),
-        block_doc_range=32,  # force multiple doc-range groups
+        block_doc_range=32,  # force multiple doc-range groups (4 blocks)
     )
     index = build_index(spark, spark.createDataFrame(corpus), cfg)
     queries = gen_queries(10, seed=9, vocab_size=200)
     qdf = spark.createDataFrame(queries)
 
     fast = score_queries(index, qdf, top_k=10, parity=False).collect()
-    pruned = score_queries(index, qdf, top_k=10, pruned=True).collect()
+    pruned = score_queries(index, qdf, top_k=10, pruned=mode).collect()
 
     def keyed(rows):
         return {
@@ -87,11 +88,67 @@ def test_spark_pruned_equals_exhaustive(spark):
         assert abs(f[k_][1] - p[k_][1]) < 1e-6
 
 
-def test_negative_weight_pruned_falls_back(spark):
+def test_blockmax_tie_boundary(spark):
+    """All-equal scores put every doc exactly AT θ: the epsilon keep-margin
+    must retain every block so canonical (score desc, doc_idx asc) tie order
+    matches exhaustive scoring identically."""
+    corpus = gen_transcripts(8, 12, seed=3, vocab_size=50)
+    # identical text everywhere → every doc scores identically for any query
+    corpus["text"] = "alpha beta gamma"
+    cfg = SparseIndexConfig(
+        preprocessor=TextPreprocessorConfig.parity(), block_doc_range=16
+    )
+    index = build_index(spark, spark.createDataFrame(corpus), cfg)
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q0"], "text": ["alpha gamma"]})
+    )
+    fast = score_queries(index, qdf, top_k=7, parity=False).collect()
+    bm = score_queries(
+        index, qdf, top_k=7, pruned="blockmax", probe_blocks=1
+    ).collect()
+    f = {(r["query_id"], r["doc_id"]): r["rank"] for r in fast}
+    b = {(r["query_id"], r["doc_id"]): r["rank"] for r in bm}
+    assert f == b and len(f) == 7
+
+
+def test_blockmax_single_probe_block(spark):
+    """probe_blocks=1 with k larger than any single block's candidate count:
+    θ never forms (phase A yields < k rows), every block must be kept."""
+    corpus = gen_transcripts(90, 15, seed=23, vocab_size=120)
+    cfg = SparseIndexConfig(
+        preprocessor=TextPreprocessorConfig.parity(), block_doc_range=16
+    )
+    index = build_index(spark, spark.createDataFrame(corpus), cfg)
+    qdf = spark.createDataFrame(gen_queries(6, seed=4, vocab_size=120))
+    fast = score_queries(index, qdf, top_k=50, parity=False).collect()
+    bm = score_queries(
+        index, qdf, top_k=50, pruned="blockmax", probe_blocks=1
+    ).collect()
+    f = {(r["query_id"], r["doc_id"]): (r["rank"], float(r["score"])) for r in fast}
+    b = {(r["query_id"], r["doc_id"]): (r["rank"], float(r["score"])) for r in bm}
+    assert set(f) == set(b)
+    for key in f:
+        assert f[key][0] == b[key][0], (key, f[key], b[key])
+        # f64 summation order differs between the two paths — tolerance, not
+        # equality (the parity-mode f32 ordered fold is the bit-exact path)
+        assert abs(f[key][1] - b[key][1]) < 1e-5
+
+
+def test_invalid_pruned_value(spark):
+    corpus = gen_transcripts(10, 5, seed=1, vocab_size=30)
+    cfg = SparseIndexConfig(preprocessor=TextPreprocessorConfig.parity())
+    index = build_index(spark, spark.createDataFrame(corpus), cfg)
+    qdf = spark.createDataFrame(pd.DataFrame({"query_id": ["q0"], "text": ["x"]}))
+    with pytest.raises(ValueError, match="pruned"):
+        score_queries(index, qdf, pruned="wand-ish")
+
+
+@pytest.mark.parametrize("mode", [True, "blockmax"])
+def test_negative_weight_pruned_falls_back(spark, mode):
     """MaxScore's suffix bound is invalid under negative weights (a partial
-    score can DECREASE later).  pruned=True must detect the negative weight
-    and fall back to exhaustive scoring — results identical to parity=False."""
-    import pandas as pd
+    score can DECREASE later) — and so is the blockmax block bound.  Both
+    pruned modes must detect the negative weight and fall back to exhaustive
+    scoring — results identical to parity=False."""
 
     corpus = gen_transcripts(100, 12, seed=5, vocab_size=150)
     cfg = SparseIndexConfig(
@@ -109,7 +166,7 @@ def test_negative_weight_pruned_falls_back(spark):
         )
     )
     fast = score_queries(index, qdf, top_k=10, parity=False).collect()
-    pruned = score_queries(index, qdf, top_k=10, pruned=True).collect()
+    pruned = score_queries(index, qdf, top_k=10, pruned=mode).collect()
     f = {(r["query_id"], r["doc_id"]): (r["rank"], round(float(r["score"]), 9)) for r in fast}
     p = {(r["query_id"], r["doc_id"]): (r["rank"], round(float(r["score"]), 9)) for r in pruned}
     assert f == p
