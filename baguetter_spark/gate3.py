@@ -81,6 +81,20 @@ def blockmax_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(res)
 
 
+def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN over the embeddings table.  Rows-only gate entry
+    (no oracle_sql): k-means centroid placement is seeded but not
+    SQL-reproducible in DuckDB, so exactness is asserted by the pytest
+    recall/rerank properties instead (test_dataops.test_ivf_recall_clustered:
+    every hit's cosine equals brute force, recall@10 >= 0.9)."""
+    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(
+        _emb_double(spark, sf_dir), EMB_QUERY_IDS, k=5, n_centroids=16, n_probe=4
+    )
+
+
 def merge_equals_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segments [doc_id < split] + [doc_id >= split] merged ==
     full-corpus build (digest compared against the full-corpus oracle)."""
@@ -283,6 +297,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_pruned": pruned_topk_query,
         "bm25_topk_blockmax": blockmax_topk_query,
+        "ann_ivf_cosine": ann_ivf_query,
         "merge_equals_rebuild": merge_equals_rebuild_query,
         "resumable_build_digest": resumable_build_digest_query,
         "streaming_ingest_digest": streaming_ingest_digest_query,

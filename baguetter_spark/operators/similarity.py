@@ -233,3 +233,101 @@ def ann_lsh_topk(
     return topped.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_r"
     )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 42,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means centroids partition the
+    corpus into ``n_centroids`` cells; each query probes only its ``n_probe``
+    nearest cells and ranks exact cosine inside them.
+
+    The centroid-bucketed counterpart of ``ann_lsh_topk`` (the reference's
+    native dense indexes, `baguetter/indices/dense/usearch.py:47-417`, cover
+    this slot with HNSW; IVF is the cell-probe family).  Clustering runs on
+    L2-NORMALIZED vectors so Euclidean k-means cells equal cosine cells;
+    zero-norm vectors are unrankable and drop before clustering.
+
+    Scale shape (10^9+ vectors): fit on a driver-bounded sample
+    (``train_fraction``; MLlib k-means|| on the sample), assignment is one
+    broadcast-model map pass, and each query scans ~``n_probe/n_centroids``
+    of the corpus — candidate generation never shuffles vectors (cell ids
+    only).  Recall is governed by n_probe/n_centroids (property-tested
+    recall@k >= 0.9 on the clustered fixture); results are approximate and
+    k-means-seeded, NOT bit-deterministic like the integer-plane LSH —
+    keep ann_lsh_topk for oracle-exact pipelines.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    normed = (
+        emb.withColumn("vnorm", _norm(F.col("vec")))
+        .where(F.col("vnorm") > 0)
+        .select(
+            "vec_id",
+            "vec",
+            F.transform("vec", lambda x: x / F.col("vnorm")).alias("uvec"),
+        )
+    )
+    with_feat = normed.withColumn(
+        "features", array_to_vector(F.col("uvec").cast("array<double>"))
+    )
+    train = (
+        with_feat.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else with_feat
+    )
+    model = KMeans(
+        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="features"
+    ).fit(train.select("features"))
+    assigned = model.transform(with_feat).select(
+        "vec_id", "vec", F.col("prediction").alias("cell")
+    )
+
+    # per-query probe cells: centroids are tiny (n_centroids x dim) and the
+    # query set is small by contract -> numpy on the driver
+    centers = np.vstack([c for c in model.clusterCenters()])  # already unit-ish
+    qrows = {
+        r["vec_id"]: np.asarray(r["uvec"], dtype=np.float64)
+        for r in normed.where(F.col("vec_id").isin(query_ids)).collect()
+    }
+    probe_rows = []
+    for qid in query_ids:
+        if qid not in qrows:
+            continue  # zero-norm / missing query vector: unrankable
+        sims = centers @ qrows[qid]
+        for cell in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((int(qid), int(cell)))
+    spark = embeddings.sparkSession
+    probe = spark.createDataFrame(probe_rows, schema="query_id long, cell int")
+
+    qvecs = emb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    joined = (
+        assigned.join(F.broadcast(probe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    cos = _cosine(F.col("vec"), F.col("qvec"))
+    scored = joined.select("query_id", "vec_id", F.round(cos, 6).alias("cos_r"))
+    scored = _drop_unrankable(scored, "cos_r")
+    topped = per_query_topk(scored, k, id_col="vec_id", score_col="cos_r")
+    return topped.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_r"
+    )

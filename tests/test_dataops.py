@@ -264,3 +264,57 @@ def test_ann_empty_input_raises(spark):
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(RuntimeError, match="dimension"):
         ann_lsh_topk(emb, [0], k=3)
+
+
+def test_ivf_recall_clustered(spark):
+    """IVF cell-probe recall: same clustered fixture as the LSH recall test;
+    with n_centroids=20 (≈ true cluster count) and n_probe=5, recall@10 vs
+    brute force must average >= 0.9 over 5 queries, and every IVF hit's
+    cosine must equal the brute-force cosine for that pair (exact rerank)."""
+    import numpy as np
+
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(20, 16))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            v = centers[c] + 0.15 * rng.normal(size=16)
+            rows.append((vid, v.tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 30, 60, 90, 120]
+    brute = cosine_topk(emb, qids, k=10).collect()
+    ivf = ivf_cosine_topk(emb, qids, k=10, n_centroids=20, n_probe=5).collect()
+    full = {
+        (r["query_id"], r["vec_id"]): r["cos_r"]
+        for r in cosine_topk(emb, qids, k=200).collect()
+    }
+    for r in ivf:
+        assert full[(r["query_id"], r["vec_id"])] == r["cos_r"]
+    b: dict = {}
+    for r in brute:
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+    a: dict = {}
+    for r in ivf:
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(b[q] & a.get(q, set())) / len(b[q]) for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_zero_norm_query_dropped(spark):
+    """A zero-norm query vector is unrankable: it probes no cells and simply
+    returns no rows (no ANSI divide error, no NaN ranks)."""
+    import numpy as np
+
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+    rows.append((99, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = ivf_cosine_topk(emb, [0, 99], k=3, n_centroids=4, n_probe=2).collect()
+    qids = {r["query_id"] for r in res}
+    assert 99 not in qids and 0 in qids
