@@ -168,6 +168,9 @@ def score_queries(
     if pruned not in (False, True, "blockmax"):
         msg = f"pruned must be False, True or 'blockmax', got {pruned!r}"
         raise ValueError(msg)
+    if pruned == "blockmax" and probe_blocks < 1:
+        msg = f"probe_blocks must be >= 1, got {probe_blocks}"
+        raise ValueError(msg)
     if pruned and "weight" in queries.columns:
         # Rank-safety guard: MaxScore's suffix bound assumes every term's
         # contribution is bounded ABOVE by its max impact, which a negative

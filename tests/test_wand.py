@@ -141,6 +141,8 @@ def test_invalid_pruned_value(spark):
     qdf = spark.createDataFrame(pd.DataFrame({"query_id": ["q0"], "text": ["x"]}))
     with pytest.raises(ValueError, match="pruned"):
         score_queries(index, qdf, pruned="wand-ish")
+    with pytest.raises(ValueError, match="probe_blocks"):
+        score_queries(index, qdf, pruned="blockmax", probe_blocks=0)
 
 
 @pytest.mark.parametrize("mode", [True, "blockmax"])
