@@ -51,7 +51,10 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"diag-sorted-{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 16)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SCALING_SHUFFLE_PARTITIONS", str(max(cores * 2, 16))),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "20g")
         .config("spark.driver.extraJavaOptions", "-Xms20g")
@@ -76,6 +79,11 @@ def main() -> None:
     config = SparseIndexConfig(preprocessor=TextPreprocessorConfig())
 
     for rep in range(2):
+        # Spark's CacheManager matches canonicalized plans: without this,
+        # rep 1's persist()+count() of an identical plan silently READS
+        # rep 0's cached data instead of rebuilding, inflating "warm"
+        # timings (observed: 150s fake vs 215s real at 4c/4M)
+        spark.catalog.clearCache()
         timings: dict[str, float] = {}
 
         t = time.time()
