@@ -43,6 +43,7 @@ from baguetter_spark.gate import (
     bm25_topk_sql,
     documents_as_transcripts,
     gate_index,
+    KNN_BRUTE_SQL,
     postings_digest_of,
     POSTINGS_DIGEST_SQL,
 )
@@ -92,6 +93,22 @@ def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ivf_cosine_topk(
         _emb_double(spark, sf_dir), EMB_QUERY_IDS, k=5, n_centroids=16, n_probe=4
+    )
+
+
+def ann_ivf_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``n_probe == n_centroids`` (every cell probed) must equal
+    brute-force cosine top-k EXACTLY, whatever centroids k-means picked —
+    the strong (hash-checked) oracle row for the IVF plumbing: proves cell
+    assignment partitions the corpus (no candidate lost to an unprobed
+    cell, none duplicated across cells) and that the cell-local score +
+    global merge path is the same math as the flat scan.  The recall-style
+    ``ann_ivf_cosine`` row (n_probe=4) stays rows-only."""
+    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(
+        _emb_double(spark, sf_dir), EMB_QUERY_IDS, k=5, n_centroids=16, n_probe=16
     )
 
 
@@ -298,6 +315,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_pruned": pruned_topk_query,
         "bm25_topk_blockmax": blockmax_topk_query,
         "ann_ivf_cosine": ann_ivf_query,
+        "ann_ivf_exhaustive": ann_ivf_exhaustive_query,
         "merge_equals_rebuild": merge_equals_rebuild_query,
         "resumable_build_digest": resumable_build_digest_query,
         "streaming_ingest_digest": streaming_ingest_digest_query,
@@ -311,6 +329,8 @@ def gate3_oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_pruned": bm25_topk_sql("lucene"),
         "bm25_topk_blockmax": bm25_topk_sql("lucene"),
+        # exhaustive probing degenerates to the flat scan -> brute oracle
+        "ann_ivf_exhaustive": KNN_BRUTE_SQL,
         "merge_equals_rebuild": POSTINGS_DIGEST_SQL,
         "resumable_build_digest": POSTINGS_DIGEST_SQL,
         "streaming_ingest_digest": STREAMING_INGEST_SQL,

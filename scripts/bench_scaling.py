@@ -440,12 +440,19 @@ def main() -> None:
                     time.sleep(20)
                     continue
                 pr1 = probes()
+                # protocol v6: the recorded (warm, 2nd) run must not be
+                # slower than its own cold run — identical work in the same
+                # JVM with caches/arenas warm can only lose to the cold run
+                # if the window degraded MID-LEG, which the bracketing
+                # probes can miss (observed: a 4c leg warm 18.4k vs cold
+                # 22.5k with both probes green).  Not applicable to v4
+                # single-run legs (cold == 0).
                 clean = all(
                     p["agg_bw_gbps"] is not None
                     and p["agg_bw_gbps"] >= gate_bw
                     and p["fault_mbps"] >= gate_fault
                     for p in (pr0, pr1)
-                )
+                ) and (cold <= 0 or warm >= cold)
                 if clean:
                     (clean_4n if is_4n else clean_n).append(warm)
                 emit(fh, {
@@ -532,6 +539,9 @@ def main() -> None:
             clean = (
                 all(b is not None and b >= gate_bw for b in all_bw)
                 and min(all_fault) >= gate_fault
+                # protocol v6: warm >= cold per leg (see leg-mode comment)
+                and (c_4n <= 0 or w_4n >= c_4n)
+                and (c_n <= 0 or w_n >= c_n)
             )
             if clean:
                 clean_n.append(w_n)

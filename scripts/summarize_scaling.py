@@ -62,15 +62,32 @@ def summarize(path: str) -> dict:
     gate_bw = float(cfg["gate_bw_gbps"])
     gate_fault = float(cfg["gate_fault_mbps"])
 
+    def _warm_ge_cold(warm: float | None, cold: float | None) -> bool:
+        # protocol v6: the recorded warm (2nd) run must not be slower than
+        # its own cold run — same work, same JVM, caches warm; warm < cold
+        # means the window degraded mid-leg in a way the bracketing probes
+        # missed.  v4 single-run legs record cold == 0 -> not applicable.
+        if warm is None or not cold or cold <= 0:
+            return True
+        return warm >= cold
+
     def is_clean(t: dict) -> bool:
         ps = [t.get("probe_pre"), t.get("probe_mid"), t.get("probe_post")]
         if any(p is None for p in ps):
             return bool(t.get("clean"))
-        return all(
-            p.get("agg_bw_gbps") is not None
-            and p["agg_bw_gbps"] >= gate_bw
-            and p.get("fault_mbps", 0.0) >= gate_fault
-            for p in ps
+        return (
+            all(
+                p.get("agg_bw_gbps") is not None
+                and p["agg_bw_gbps"] >= gate_bw
+                and p.get("fault_mbps", 0.0) >= gate_fault
+                for p in ps
+            )
+            and _warm_ge_cold(
+                t.get("turns_per_sec_N"), t.get("turns_per_sec_N_coldrun")
+            )
+            and _warm_ge_cold(
+                t.get("turns_per_sec_4N"), t.get("turns_per_sec_4N_coldrun")
+            )
         )
 
     def leg_is_clean(t: dict) -> bool:
@@ -82,6 +99,8 @@ def summarize(path: str) -> dict:
             and p["agg_bw_gbps"] >= gate_bw
             and p.get("fault_mbps", 0.0) >= gate_fault
             for p in ps
+        ) and _warm_ge_cold(
+            t.get("turns_per_sec"), t.get("turns_per_sec_coldrun")
         )
 
     clean = [t for t in trials if is_clean(t)]

@@ -304,6 +304,34 @@ def test_ivf_recall_clustered(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ivf_exhaustive_equals_brute(spark):
+    """n_probe == n_centroids probes every cell, so IVF must reproduce the
+    flat brute-force top-k EXACTLY (ranks, ids, rounded scores) regardless of
+    where k-means put the centroids — cell assignment partitions the corpus
+    (nothing lost to an unprobed cell, nothing duplicated across cells) and
+    the cell-local scoring is the same math as the flat scan.  Mirrors the
+    ann_ivf_exhaustive gate row."""
+    import numpy as np
+
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.normal(size=12).tolist()) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 7, 41]
+    brute = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_r"])
+        for r in cosine_topk(emb, qids, k=6).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_r"])
+        for r in ivf_cosine_topk(
+            emb, qids, k=6, n_centroids=8, n_probe=8
+        ).collect()
+    )
+    assert ivf == brute
+
+
 def test_ivf_zero_norm_query_dropped(spark):
     """A zero-norm query vector is unrankable: it probes no cells and simply
     returns no rows (no ANSI divide error, no NaN ranks)."""
