@@ -79,6 +79,21 @@ _CYRILLIC = str.maketrans(
     {**_CYR_LOWER, **{k.upper(): v.capitalize() for k, v in _CYR_LOWER.items()}}
 )
 
+# Greek -> Latin romanization (ELOT 743 / ISO 843 style, public standard:
+# β→v, η→i, υ→y, φ→f, χ→ch).  Accented Greek decomposes under NFKD
+# (ά → α + combining acute), so translating the stripped base letters
+# covers composed and decomposed input identically, same as Cyrillic.
+_GREEK_LOWER = {
+    "α": "a", "β": "v", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "i",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "y",
+    "φ": "f", "χ": "ch", "ψ": "ps", "ω": "o",
+}
+_GREEK = str.maketrans(
+    {**_GREEK_LOWER,
+     **{k.upper(): v.capitalize() for k, v in _GREEK_LOWER.items() if k != "ς"}}
+)
+
 
 # --- individual steps (exact reference I/O; tested against the reference's
 # own goldens, tests/.../text_normalization_test.py:7-31) ---
@@ -113,19 +128,20 @@ def normalize_diacritics(text: str) -> str:
     normalization.py:46-56, which uses unidecode).  Offline substitute:
     NFKD decomposition + combining-mark strip (exact for Latin diacritics:
     é→e, ü→u, ñ→n), a small table for non-decomposable Latin letters
-    (ß→ss, œ→oe, ...), and GOST-style Cyrillic romanization (Москва→Moskva).
-    Other non-Latin scripts (CJK, Arabic, ...) pass through unchanged
-    (unidecode would transliterate them — documented divergence)."""
+    (ß→ss, œ→oe, ...), GOST-style Cyrillic romanization (Москва→Moskva) and
+    ELOT-style Greek romanization (Ελλάδα→Ellada).  Other non-Latin scripts
+    (CJK, Arabic, ...) pass through unchanged (unidecode would
+    transliterate them — documented divergence)."""
     import unicodedata
 
     text = text.translate(_DIACRITIC_EXTRA)
     text = "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )
-    # AFTER the strip: й/ё decompose under NFKD (и+breve / е+diaeresis), so
-    # romanizing the stripped base letters covers composed and decomposed
-    # input identically
-    return text.translate(_CYRILLIC)
+    # AFTER the strip: й/ё decompose under NFKD (и+breve / е+diaeresis) and
+    # ά/ή likewise, so romanizing the stripped base letters covers composed
+    # and decomposed input identically
+    return text.translate(_CYRILLIC).translate(_GREEK)
 
 
 def _resolve(cfg: TextPreprocessorConfig):

@@ -237,6 +237,19 @@ def test_cyrillic_transliteration():
     assert make_processor(cfg)("Москва слезам") == ["moskva", "slezam"]
 
 
+def test_greek_transliteration():
+    from baguetter_spark.functions.preprocess import normalize_diacritics
+
+    # ELOT 743 conventions: β→v, η→i, υ→y, φ→f, χ→ch
+    assert normalize_diacritics("Ελλάδα") == "Ellada"
+    assert normalize_diacritics("ψυχή") == "psychi"
+    assert normalize_diacritics("Θεσσαλονίκη") == "Thessaloniki"
+    # final sigma ς and medial σ both map to s
+    assert normalize_diacritics("λόγος") == "logos"
+    # composed ά and decomposed α + combining acute romanize identically
+    assert normalize_diacritics("ά") == normalize_diacritics("ά") == "a"
+
+
 # Hand-traced from the published Snowball specs (snowballstem.org); each
 # pair was walked through the algorithm text step by step.
 GERMAN_GOLDENS = [
