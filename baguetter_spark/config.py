@@ -30,8 +30,9 @@ class TextPreprocessorConfig:
     "word"/"sent" tokenizers need trained punkt models and raise offline.
     ``stemmer`` supports "english" (vendored Snowball/Porter2) plus
     "german", "french", "spanish", "russian", "portuguese", "italian",
-    "dutch", "swedish", "norwegian", "danish" (all vendored from the
-    published Snowball specs), or None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
+    "dutch", "swedish", "norwegian", "danish", "romanian", "finnish",
+    "hungarian" (all vendored from the published Snowball specs), plus
+    "porter", "lancaster", "cistem", or None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
     None.  ``do_diacritics_normalization`` (engine extension, default off —
     the reference ships ``normalize_diacritics`` but never wires it into its
     pipeline) ASCII-folds diacritics after special-chars normalization.

@@ -326,6 +326,10 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.snowball_ro import stem as stem_ro
 
         return stem_ro
+    if n in ("hungarian", "hu"):
+        from baguetter_spark.functions.snowball_hu import stem as stem_hu
+
+        return stem_hu
     if n == "porter":
         from baguetter_spark.functions.porter import stem as stem_porter
 
@@ -345,6 +349,7 @@ def get_stemmer(name: str | None):
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
-        f"norwegian, danish, romanian, porter, lancaster, cistem)."
+        f"norwegian, danish, romanian, finnish, hungarian, porter, "
+        f"lancaster, cistem)."
     )
     raise ValueError(msg)

@@ -684,3 +684,42 @@ def test_finnish_stemmer_goldens():
     for w, e in FINNISH_GOLDENS:
         assert st(w) == e, (w, st(w), e)
     assert get_stemmer("fi") is st
+
+
+# Hungarian: hand-traced from the snowballstem.org spec (see snowball_hu.py;
+# covers R1 marking for consonant-initial, vowel-initial and digraph words,
+# instrumental al/el with kk undoubling, the frequent-case table with the
+# á->a / é->e ending fix, factive é after a double, owned áké/é, singular
+# owner, plural owner, and the step 7->9 chains where a stripped case ending
+# exposes a possessive a/e and then a plural k — the goldens trace the FULL
+# nine-step pipeline, not per-step tables in isolation).
+HUNGARIAN_GOLDENS = [
+    ("babot", "bab"),          # case ot
+    ("házban", "ház"),         # case ban
+    ("házakkal", "ház"),       # instrum al + kk undouble, then plural ak
+    ("asztalnak", "asztal"),   # sz digraph R1 marking; case nak
+    ("gyerekeknek", "gyerek"),  # case nek + plural ek
+    ("asszonyok", "asszony"),  # vowel-initial, ss is not a digraph; plural ok
+    ("almák", "alma"),         # plural ák -> a (last step, a survives)
+    ("almáink", "alma"),       # sing_owner nk, then plur_owner ái -> a
+    ("házé", "ház"),           # owned é (factive skipped: z not doubled)
+    ("szebbé", "szeb"),        # factive é after bb, undoubled
+    ("fákkal", "fák"),         # instrum + undouble; plural ák is OUTSIDE R1
+    ("házán", "ház"),          # case n + v_end á->a, then sing_owner a
+    ("barátaim", "barát"),     # sing_owner m, then plur_owner ai
+    ("kezét", "kez"),          # case t + v_end é->e, then sing_owner e
+    ("kezünk", "kez"),         # sing_owner ünk
+    ("kések", "kés"),          # plural ek
+    ("anyáké", "any"),         # ny digraph R1; owned áké -> a, sing_owner a
+    ("munkát", "mun"),         # case t, v_end, sing_owner a, plural k chain
+    ("fa", "fa"),              # R1 empty -> untouched
+]
+
+
+def test_hungarian_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("hungarian")
+    for w, e in HUNGARIAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("hu") is st
