@@ -723,3 +723,50 @@ def test_hungarian_stemmer_goldens():
     for w, e in HUNGARIAN_GOLDENS:
         assert st(w) == e, (w, st(w), e)
     assert get_stemmer("hu") is st
+
+
+# ---- robustness: every registry stemmer must survive arbitrary tokens ----
+# A stemmer exception inside the Arrow tokenize UDF would fail the Spark
+# task (and after retries the whole 100 TB build), so totality over weird
+# corpus tokens is a production invariant, not a nicety.  Exercise every
+# vendored stemmer with adversarial unicode: empty, single chars, combining
+# marks, surrogate-adjacent codepoints, digits, huge repeats, and the
+# languages' own diacritics in nonsense arrangements.
+
+ALL_REGISTRY_STEMMERS = [
+    "english", "german", "french", "spanish", "russian", "portuguese",
+    "italian", "dutch", "swedish", "norwegian", "danish", "romanian",
+    "finnish", "hungarian", "porter", "lancaster", "cistem",
+]
+
+
+def test_all_registry_stemmers_total_on_adversarial_tokens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    try:
+        from hypothesis import given, settings, strategies as st_
+        have_hypothesis = True
+    except ImportError:  # pragma: no cover - baked into the sandbox
+        have_hypothesis = False
+
+    fixed = [
+        "", "a", "á", "é", "ß", "ы", "ъ", "ь", "0", "''", "-", "́",
+        "áë", "șț", "şţ", "ŋ" * 50, "aaaaaaaaaaaaaaaaaaaa",
+        "ккал", "ção", "öàę", "\t", " ", "é́́",
+        "sz" * 40, "ggy", "ssz", "￿", "xyzzy­", "İı",
+    ]
+    stemmers = [(n, get_stemmer(n)) for n in ALL_REGISTRY_STEMMERS]
+    for name, st in stemmers:
+        for tok in fixed:
+            out = st(tok)
+            assert isinstance(out, str), (name, tok, out)
+
+    if have_hypothesis:
+        @settings(max_examples=200, deadline=None)
+        @given(st_.text(max_size=40))
+        def fuzz(tok):
+            for name, st in stemmers:
+                out = st(tok.lower())
+                assert isinstance(out, str), (name, tok)
+
+        fuzz()
