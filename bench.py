@@ -47,10 +47,42 @@ def get_transcripts_path() -> str:
     return path
 
 
+def wait_for_clean_window(max_wait_s: float) -> dict | None:
+    """Delay the measured run until a probe-clean weather window (README
+    "Benchmark weather protocol"), bounded by ``max_wait_s`` — after the
+    deadline the bench runs regardless (a run is always produced).  Only
+    the START window is picked; nothing about the measurement changes.
+    Returns the last probe reading (annotated into the output JSON), or
+    None when probing is disabled/unavailable."""
+    if max_wait_s <= 0:
+        return None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_scaling import DEFAULT_GATE_BW, DEFAULT_GATE_FAULT, probes
+    except Exception:  # pragma: no cover - scripts/ not shipped alongside
+        return None
+    deadline = time.time() + max_wait_s
+    last = None
+    while True:
+        last = probes()
+        bw = last.get("agg_bw_gbps")
+        ok = last["fault_mbps"] >= DEFAULT_GATE_FAULT and (bw is None or bw >= DEFAULT_GATE_BW)
+        if ok:
+            return last
+        if time.time() >= deadline:
+            log(f"no clean weather window within {max_wait_s:.0f}s - running anyway ({last})")
+            return last
+        log(f"dirty weather window {last} - waiting")
+        time.sleep(20)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probe_pre = wait_for_clean_window(
+        float(os.environ.get("BENCH_WAIT_CLEAN_SECONDS", "600"))
+    )
 
     from pyspark.sql import SparkSession
 
@@ -195,6 +227,8 @@ def main() -> None:
         "sf": sf,
         **extras,
     }
+    if probe_pre is not None:
+        out["probe_pre"] = probe_pre
     print(json.dumps(out), flush=True)
     spark.stop()
 
