@@ -499,6 +499,14 @@ def main() -> None:
             and attempts < max_attempts
             and time.time() - t_start < max_seconds
         ):
+            # same interlock leg mode has: a foreground experiment (pytest,
+            # A/B harness) holds this lockfile so a trial neither measures
+            # a self-contended window nor records legs poisoned by our own
+            # load (probes cannot tell host weather from our load)
+            if os.path.exists(FOREGROUND_LOCK):
+                emit(fh, {"event": "skip_foreground_lock"})
+                time.sleep(30)
+                continue
             pr0 = probes()
             # A trial only STARTS when the window already meets the full
             # CLEAN gates — a merely "not hopeless" window (the old skip
