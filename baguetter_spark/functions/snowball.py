@@ -346,10 +346,18 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.cistem import stem as stem_cistem
 
         return stem_cistem
+    if n in ("indonesian", "id"):
+        from baguetter_spark.functions.snowball_id import stem as stem_id
+
+        return stem_id
+    if n in ("hindi", "hi"):
+        from baguetter_spark.functions.snowball_hi import stem as stem_hi
+
+        return stem_hi
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
-        f"norwegian, danish, romanian, finnish, hungarian, porter, "
-        f"lancaster, cistem)."
+        f"norwegian, danish, romanian, finnish, hungarian, indonesian, "
+        f"hindi, porter, lancaster, cistem)."
     )
     raise ValueError(msg)

@@ -725,6 +725,80 @@ def test_hungarian_stemmer_goldens():
     assert get_stemmer("hu") is st
 
 
+# Indonesian: hand-traced through the Tala (2003) confix-stripping pipeline
+# (see snowball_id.py; covers the measure<=2 guard, particle/possessive
+# inflection, every first-order nasal-recovery rule (meny->s, men->t,
+# mem->p, meng->delete, the peng family), di/ter/ke/se, the second-order
+# ber/bel(ajar)/be+Cer/per/pe rules, the disallowed confix pairs, and the
+# full prefix->suffix->second-prefix chains).
+INDONESIAN_GOLDENS = [
+    ("memilih", "pilih"),          # mem+V -> p+V
+    ("menulis", "tulis"),          # men+V -> t+V
+    ("menyapu", "sapu"),           # meny+V -> s+V
+    ("mengambil", "ambil"),        # meng+V -> delete
+    ("membeli", "beli"),           # mem+C -> delete
+    ("mencari", "cari"),           # men+C -> delete
+    ("melihat", "lihat"),          # me+C -> delete
+    ("dikatakannya", "kata"),      # possessive nya, di-, -kan chain
+    ("kehidupan", "hidup"),        # ke- then -an (ke-an allowed)
+    ("keberhasilan", "hasil"),     # ke- -> -an -> second-order ber-
+    ("memberlakukan", "laku"),     # mem- -> -kan -> ber-
+    ("berjalan", "jalan"),         # ber-; measure guard stops -an
+    ("perjuangan", "juang"),       # second-order per- then -an
+    ("belajar", "ajar"),           # bel- only in belajar-type words
+    ("bekerja", "kerja"),          # be- before consonant+er
+    ("mempunyai", "punya"),        # mem+C keeps p; me–i allowed
+    ("sebagainya", "bagai"),       # se-: the se–i disallowed pair fires
+    ("sebesar", "besar"),          # se-
+    ("terbaik", "baik"),           # ter-
+    ("pengukur", "ukur"),          # peng+V -> delete
+    ("pemilihan", "pilih"),        # pem+V -> p+V then -an
+    ("pembangunan", "bangun"),     # pem+C then -an
+    ("duduklah", "duduk"),         # particle lah
+    ("bukunya", "buku"),           # possessive nya; measure guard after
+    ("makanan", "makan"),          # no prefix; -an
+    ("buku", "buku"),              # measure <= 2 -> untouched
+]
+
+
+def test_indonesian_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("indonesian")
+    for w, e in INDONESIAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("id") is st
+
+
+# Hindi: hand-traced through the Ramanathan & Rao (2003) suffix table (see
+# snowball_hi.py; covers all five length groups, the remaining-length
+# guard, longest-match precedence, and non-Devanagari passthrough).
+HINDI_GOLDENS = [
+    ("लड़के", "लड़क"),          # length-1 matra े
+    ("लड़कियाँ", "लड़क"),       # length-4 ियाँ
+    ("लड़कों", "लड़क"),         # length-2 ों
+    ("किताबें", "किताब"),       # length-2 ें
+    ("बनाया", "बन"),            # length-3 ाया
+    ("खाना", "खा"),             # ाना blocked by length guard; ना fires
+    ("करना", "कर"),             # infinitive ना
+    ("करते", "कर"),             # participle ते
+    ("होती", "हो"),             # participle ती
+    ("रहीं", "रह"),             # plural ीं
+    ("दिया", "दिय"),            # bare matra ा
+    ("का", "का"),               # too short -> untouched
+    ("hello", "hello"),         # non-Devanagari passthrough
+]
+
+
+def test_hindi_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("hindi")
+    for w, e in HINDI_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("hi") is st
+
+
 # ---- robustness: every registry stemmer must survive arbitrary tokens ----
 # A stemmer exception inside the Arrow tokenize UDF would fail the Spark
 # task (and after retries the whole 100 TB build), so totality over weird
@@ -736,7 +810,8 @@ def test_hungarian_stemmer_goldens():
 ALL_REGISTRY_STEMMERS = [
     "english", "german", "french", "spanish", "russian", "portuguese",
     "italian", "dutch", "swedish", "norwegian", "danish", "romanian",
-    "finnish", "hungarian", "porter", "lancaster", "cistem",
+    "finnish", "hungarian", "indonesian", "hindi", "porter", "lancaster",
+    "cistem",
 ]
 
 
