@@ -19,6 +19,10 @@ CORRECTNESS row (VERDICT round-1 next-round #2).
 - ``bm25_presorted_digest`` (round 3) — shuffle-free presorted build with
   fallback disabled (assume_sorted="require") over a range-partitioned
   key-sorted rewrite of the corpus; digest vs the same postings oracle.
+- ``dedup_embedding_cosine`` (round 3) — embedding-cosine near-dup pairs:
+  banded-LSH candidate generation + exact cosine verify at >= 0.4; oracle
+  mirrors the identical integer-plane banding (pairs the banding misses
+  are missed by both sides; recall-vs-exhaustive pinned in test_dense).
 
 Same determinism rules as gate.py.
 """
@@ -247,6 +251,73 @@ def knn_radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding-cosine near-dup: 0.4 yields a non-trivial pair set on the
+# synthetic fixture (59 true pairs at sf0.01, 920 at sf0.1); real near-dup
+# workloads run 0.9+ where the banding s-curve is far sharper.
+NEAR_DUP_COS = 0.4
+
+
+def embedding_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dense member of the dedup
+    family): banded-LSH candidate generation (ids only through the
+    distinct), exact-cosine verification at >= NEAR_DUP_COS.  The oracle
+    mirrors the identical integer-plane banding, so the row verifies the
+    bucketed plan end-to-end; pairs the banding misses are missed by both
+    sides (recall-vs-exhaustive is pinned in tests/test_dense.py)."""
+    from baguetter_spark.gate import EMB_DIM, _emb_double
+    from baguetter_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb_double(spark, sf_dir), threshold=NEAR_DUP_COS, dim=EMB_DIM
+    )
+
+
+def _embedding_near_dup_sql() -> str:
+    from baguetter_spark.operators.similarity import (
+        N_BANDS,
+        N_PLANES_PER_BAND,
+        PLANE_A,
+        PLANE_B,
+        PLANE_MOD,
+        PLANE_SHIFT,
+    )
+
+    n_total = N_BANDS * N_PLANES_PER_BAND
+    planes = ", ".join(
+        f"({p // N_PLANES_PER_BAND}, {p % N_PLANES_PER_BAND}, {PLANE_A[p]}, {PLANE_B[p]})"
+        for p in range(n_total)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+flat AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM emb
+),
+planes(band, r, a, b) AS (VALUES {planes}),
+proj AS (
+  SELECT vec_id, band, r, sum(x * (((a * d + b) % {PLANE_MOD}) - {PLANE_SHIFT})) AS pr
+  FROM flat CROSS JOIN planes GROUP BY vec_id, band, r
+),
+bucket AS (
+  SELECT vec_id, band,
+         CAST(sum(CASE WHEN pr > 0 THEN (1 << r) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucket a JOIN bucket b USING (band, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_r
+FROM cand c JOIN emb ea ON ea.vec_id = c.id_a JOIN emb eb ON eb.vec_id = c.id_b
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {NEAR_DUP_COS}
+"""
+
+
 def _knn_radius_sql() -> str:
     from baguetter_spark.gate import EMB_QUERY_IDS
 
@@ -322,6 +393,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": simhash_pairs_query,
         "bm25_presorted_digest": presorted_build_digest_query,
         "knn_cosine_radius": knn_radius_query,
+        "dedup_embedding_cosine": embedding_near_dup_query,
     }
 
 
@@ -337,4 +409,5 @@ def gate3_oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "bm25_presorted_digest": POSTINGS_DIGEST_SQL,
         "knn_cosine_radius": _knn_radius_sql(),
+        "dedup_embedding_cosine": _embedding_near_dup_sql(),
     }

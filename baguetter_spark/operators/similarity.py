@@ -331,3 +331,65 @@ def ivf_cosine_topk(
     return topped.select(
         "query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "cos_r"
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = N_BANDS,
+    n_planes: int = N_PLANES_PER_BAND,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: all (id_a < id_b) with exact
+    cosine >= threshold — the dense-vector member of the dedup family
+    (alongside exact/n-gram/MinHash/SimHash in operators/dedup.py).
+
+    Scale path (default): banded-LSH candidate generation — two rows are a
+    candidate pair iff they share a (band, bucket) in ANY band — followed
+    by exact cosine verification.  The self-join carries ids only (vectors
+    never cross the distinct), the same discipline as ann_lsh_topk.
+    Candidate volume is sum over bands/buckets of bucket_size^2/2, so at
+    scale ``n_planes`` (bucket count 2^n_planes per band) is the knob that
+    bounds bucket sizes; recall follows the banding s-curve
+    1-(1-p^r)^b.  Pairs missed by the banding are missed identically by
+    the DuckDB gate oracle (which mirrors the same integer planes), so the
+    gate verifies the bucketed plan end-to-end; the recall-vs-exhaustive
+    property is pinned separately in tests/test_dense.py.
+
+    ``exhaustive=True`` replaces candidate generation with the full a<b
+    cross-join (exact recall baseline; small scales only).
+
+    Returns (id_a, id_b, cos_r), cos_r rounded to 6 dp.
+    """
+    emb = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    if exhaustive:
+        a = emb.select(F.col("vec_id").alias("id_a"))
+        b = emb.select(F.col("vec_id").alias("id_b"))
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            dim = _probe_dim(embeddings, vec_col)
+        bb = lsh_band_buckets(
+            emb, "vec", dim, n_bands=n_bands, n_planes=n_planes
+        ).select("vec_id", "band", "bucket")
+        cand = (
+            bb.alias("a")
+            .join(bb.alias("b"), ["band", "bucket"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+            )
+            .distinct()
+        )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_r"))
+    )
+    return _drop_unrankable(scored, "cos_r").where(F.col("cos_r") >= threshold)

@@ -133,3 +133,60 @@ def test_zero_norm_vector_excluded(spark):
     assert "z" not in keys
     assert keys[0] == "a"
     assert all(s == s for s in scores)  # no NaN survives
+
+
+def test_embedding_near_dup_exhaustive_matches_numpy(spark):
+    """Exhaustive mode is the exact recall baseline: pair set == numpy."""
+    from baguetter_spark.operators.similarity import embedding_near_dup_pairs
+
+    vecs = _vecs(40, dim=8, seed=3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    thr = 0.5
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=thr, exhaustive=True
+        ).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    true = {
+        (a, b)
+        for a in range(40)
+        for b in range(a + 1, 40)
+        if round(sims[a, b], 6) >= thr
+    }
+    assert true, "fixture must produce at least one true pair"
+    assert got == true
+
+
+def test_embedding_near_dup_lsh_subset_and_recall(spark):
+    """LSH mode: every reported pair is a verified true pair (exactness of
+    the verification stage), and on this fixed fixture the deterministic
+    integer-plane banding recalls at least half the true pairs (the
+    banding s-curve at cos ~0.5; real near-dup thresholds 0.9+ sit far
+    higher on the curve)."""
+    from baguetter_spark.operators.similarity import embedding_near_dup_pairs
+
+    vecs = _vecs(60, dim=8, seed=11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    thr = 0.5
+    true = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=thr, exhaustive=True
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=thr, dim=8).collect()
+    }
+    assert got <= true  # verification stage never passes a false pair
+    assert true, "fixture must produce at least one true pair"
+    assert len(got) / len(true) >= 0.5
