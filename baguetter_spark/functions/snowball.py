@@ -354,10 +354,14 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.snowball_hi import stem as stem_hi
 
         return stem_hi
+    if n in ("turkish", "tr"):
+        from baguetter_spark.functions.snowball_tr import stem as stem_tr
+
+        return stem_tr
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
         f"norwegian, danish, romanian, finnish, hungarian, indonesian, "
-        f"hindi, porter, lancaster, cistem)."
+        f"hindi, turkish, porter, lancaster, cistem)."
     )
     raise ValueError(msg)

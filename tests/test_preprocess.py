@@ -799,6 +799,58 @@ def test_hindi_stemmer_goldens():
     assert get_stemmer("hi") is st
 
 
+# Turkish: hand-traced through the snowball_tr.py pipeline (Çilden-style
+# nominal affix stripping under the morphotactic floor; covers plural,
+# possessive, every case, copular chains, vowel harmony rejection, the
+# buffer rule, final-consonant restoration, and the documented consistent
+# conflations — every member of a paradigm lands on the same stem).
+TURKISH_GOLDENS = [
+    ("evler", "ev"),                # plural lAr
+    ("evlerden", "ev"),             # ablative then plural
+    ("evlerinden", "ev"),           # ndan buffer, lArI, full chain
+    ("evinde", "ev"),               # locative then 2sg possessive
+    ("evimizde", "ev"),             # locative then 1pl possessive
+    ("evdeki", "ev"),               # ki then locative
+    ("evlerdir", "ev"),             # copular DUr then plural
+    ("evi", "ev"),                  # bare harmonic vowel (3sg poss)
+    ("kitaplar", "kitap"),          # harmony a->a
+    ("kitabı", "kitap"),            # b->p final-consonant restoration
+    ("kitabın", "kitap"),           # genitive after consonant
+    ("kitapta", "kitap"),           # voiceless locative ta
+    ("arabalar", "araba"),          # plural on vowel-final root
+    ("arabam", "araba"),            # bare-m possessive after vowel
+    ("arabada", "araba"),           # locative attaches with no buffer
+    ("arabayı", "araba"),           # y-buffered accusative
+    ("arabasını", "araba"),         # accusative nI then 3sg sI
+    ("arabasıydı", "araba"),        # copular ydI then sI
+    ("araba", "araba"),             # bare dative a/e dropped: root stable
+    ("gözlerimin", "göz"),          # genitive(3) -> 1sg poss(2) -> plural
+    ("öğretmenim", "öğretmen"),     # floor blocks chain past the poss
+    ("öğretmenlerdendi", "öğretmen"),  # copular di -> den -> ler
+    ("türkçe", "türk"),             # equative after consonant
+    ("gece", "gece"),               # equative blocked after vowel
+    ("güzelsin", "güzel"),          # copular sUn
+    ("denizlerinde", "deniz"),      # floor keeps -iz on the root
+    ("yolunda", "yol"),             # nda buffer then bare u
+    ("kapıdan", "kap"),             # consistent conflation: kapı also -> kap
+    ("kapı", "kap"),
+    ("okullarda", "okul"),
+    ("şehirden", "şehir"),
+    ("masa", "masa"),               # bare conditional sA dropped
+    ("ev", "ev"),
+    ("su", "su"),                   # too short to strip
+]
+
+
+def test_turkish_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("turkish")
+    for w, e in TURKISH_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("tr") is st
+
+
 # ---- robustness: every registry stemmer must survive arbitrary tokens ----
 # A stemmer exception inside the Arrow tokenize UDF would fail the Spark
 # task (and after retries the whole 100 TB build), so totality over weird
@@ -810,8 +862,8 @@ def test_hindi_stemmer_goldens():
 ALL_REGISTRY_STEMMERS = [
     "english", "german", "french", "spanish", "russian", "portuguese",
     "italian", "dutch", "swedish", "norwegian", "danish", "romanian",
-    "finnish", "hungarian", "indonesian", "hindi", "porter", "lancaster",
-    "cistem",
+    "finnish", "hungarian", "indonesian", "hindi", "turkish", "porter",
+    "lancaster", "cistem",
 ]
 
 
