@@ -358,10 +358,43 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.snowball_tr import stem as stem_tr
 
         return stem_tr
+    if n in ("arabic", "ar"):
+        from baguetter_spark.functions.snowball_ar import stem as stem_ar
+
+        return stem_ar
+    if n in ("catalan", "ca"):
+        from baguetter_spark.functions.snowball_ca import stem as stem_ca
+
+        return stem_ca
+    if n in ("nepali", "ne"):
+        from baguetter_spark.functions.snowball_ne import stem as stem_ne
+
+        return stem_ne
+    if n in ("irish", "ga"):
+        from baguetter_spark.functions.snowball_ga import stem as stem_ga
+
+        return stem_ga
+    if n in ("lithuanian", "lt"):
+        from baguetter_spark.functions.snowball_lt import stem as stem_lt
+
+        return stem_lt
+    if n in ("basque", "eu"):
+        from baguetter_spark.functions.snowball_eu import stem as stem_eu
+
+        return stem_eu
+    if n in ("greek", "el"):
+        from baguetter_spark.functions.snowball_el import stem as stem_el
+
+        return stem_el
+    if n in ("tamil", "ta"):
+        from baguetter_spark.functions.snowball_ta import stem as stem_ta
+
+        return stem_ta
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
         f"norwegian, danish, romanian, finnish, hungarian, indonesian, "
-        f"hindi, turkish, porter, lancaster, cistem)."
+        f"hindi, turkish, arabic, catalan, nepali, irish, lithuanian, "
+        f"basque, greek, tamil, porter, lancaster, cistem)."
     )
     raise ValueError(msg)

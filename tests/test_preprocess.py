@@ -851,6 +851,218 @@ def test_turkish_stemmer_goldens():
     assert get_stemmer("tr") is st
 
 
+# Arabic: hand-traced through the Light10 inventory (snowball_ar.py —
+# normalization, one article/waw prefix, the ordered suffix scan).
+ARABIC_GOLDENS = [
+    ("الكتاب", "كتاب"),        # al- article
+    ("والمكتبة", "مكتب"),      # wal- article; ة normalized then stripped
+    ("المعلمون", "معلم"),      # article + masculine plural ون
+    ("كتابها", "كتاب"),        # possessive ها
+    ("مكتباتها", "مكتب"),      # ها then ات (the scan continues)
+    ("وقال", "قال"),           # conjunction و (remainder >= 3)
+    ("للطلاب", "طلاب"),        # لل article
+    ("بالقلم", "قلم"),         # bal-
+    ("معلمين", "معلم"),        # plural ين
+    ("مدرسة", "مدرس"),         # final ة -> ه -> stripped
+    ("مستشفى", "مستشف"),       # final ى -> ي -> stripped
+    ("أحمد", "احمد"),          # hamza'd alif folded
+    ("اب", "اب"),              # too short to strip
+    ("hello", "hello"),        # non-Arabic passthrough
+]
+
+
+def test_arabic_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("arabic")
+    for w, e in ARABIC_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("ar") is st
+
+
+# Catalan: hand-traced through snowball_ca.py (R1/R2 regions, the
+# suf/suf+s longest match, the vowel+ns plural residuals) and checked
+# for whole-paradigm convergence.
+CATALAN_GOLDENS = [
+    ("cantar", "cant"), ("cantava", "cant"), ("cantant", "cant"),
+    ("cantades", "cant"), ("cantem", "cant"),
+    ("informació", "inform"), ("informacions", "inform"),
+    ("nació", "naci"), ("nacions", "naci"),
+    ("moviment", "movim"), ("moviments", "movim"),
+    ("treballador", "treball"), ("treballadora", "treball"),
+    ("treballs", "treball"),
+    ("casa", "cas"), ("cases", "cas"),
+    ("català", "catal"), ("catalans", "catal"),
+    ("camí", "cam"), ("camins", "cam"),
+    ("serveix", "serv"), ("servir", "serv"),
+    ("possibilitat", "possibil"), ("possibilitats", "possibil"),
+]
+
+
+def test_catalan_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("catalan")
+    for w, e in CATALAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("ca") is st
+
+
+# Nepali: hand-traced through snowball_ne.py (postposition pass, plural
+# pass, verbal pass — stacked morphology lands on one stem).
+NEPALI_GOLDENS = [
+    ("किताबहरूको", "किताब"),   # को then हरू
+    ("घरमा", "घर"),            # locative clitic मा
+    ("गर्छु", "गर्"),           # 1sg present छु
+    ("नेपालबाट", "नेपाल"),     # ablative बाट
+    ("मानिसहरू", "मानिस"),     # plural only
+    ("रामले", "राम"),          # ergative ले
+    ("उनीहरूलाई", "उनी"),      # combined हरूलाई
+    ("पुस्तकहरुका", "पुस्तक"),  # hrasva-u plural spelling + का
+    ("सडकसम्म", "सडक"),        # terminative सम्म
+    ("गरेर", "गर"),            # absolutive एर/ेर
+    ("घर", "घर"),              # bare stem untouched
+    ("hello", "hello"),        # non-Devanagari passthrough
+]
+
+
+def test_nepali_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("nepali")
+    for w, e in NEPALI_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("ne") is st
+
+
+# Irish: hand-traced through snowball_ga.py (demutation, fixpoint
+# suffix strip, residual genitive vowel).
+IRISH_GOLDENS = [
+    ("bhfuinneog", "fuinneog"),   # eclipsis bhf -> f
+    ("gcarr", "carr"),            # eclipsis gc -> c
+    ("nGaeilge".lower(), "gaeilg"),  # ng -> g, then residual e
+    ("bhean", "bean"),            # lenition bh -> b
+    ("thit", "tit"),              # lenition th -> t
+    ("n-athair", "athair"),       # hyphenated pre-vowel n-
+    ("tsúil", "súil"),            # ts cluster
+    ("ceoltóirí", "ceolt"),       # í plural rides on óir agentive
+    ("ceoltóir", "ceolt"),
+    ("scoileanna", "scoil"),      # plural anna, residual e
+    ("scoile", "scoil"),          # genitive vowel
+    ("saoirseacht", "saoirs"),    # abstract eacht
+    ("cairdiúil", "caird"),       # adjectival iúil
+    ("teach", "teach"),           # no false lenition (te- not lenited)
+    ("hello", "hello"),
+]
+
+
+def test_irish_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("irish")
+    for w, e in IRISH_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("ga") is st
+
+
+# Lithuanian: hand-traced through snowball_lt.py (fixpoint over the
+# declension/conjugation inventory + the -imas nominalizer).
+LITHUANIAN_GOLDENS = [
+    ("namas", "nam"), ("namo", "nam"), ("namui", "nam"),
+    ("namuose", "nam"), ("namams", "nam"),
+    ("knyga", "knyg"), ("knygos", "knyg"), ("knygomis", "knyg"),
+    ("knygoje", "knyg"),
+    ("dirbti", "dirb"), ("dirba", "dirb"), ("dirbo", "dirb"),
+    ("dirbdavo", "dirb"),
+    ("veikimas", "veik"), ("veikimo", "veik"), ("veikti", "veik"),
+    ("mokytojas", "mokytoj"), ("mokytojai", "mokytoj"),
+    ("valstybė", "valstyb"), ("valstybės", "valstyb"),
+    ("ąžuolas", "ąžuol"), ("ąžuolo", "ąžuol"),
+]
+
+
+def test_lithuanian_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("lithuanian")
+    for w, e in LITHUANIAN_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("lt") is st
+
+
+# Basque: hand-traced through snowball_eu.py (fixpoint over the
+# determiner+case endings; stacked gizon+aren+a lands on the stem).
+BASQUE_GOLDENS = [
+    ("gizona", "gizon"), ("gizonak", "gizon"), ("gizonaren", "gizon"),
+    ("gizonarekin", "gizon"), ("gizonei", "gizon"), ("gizonen", "gizon"),
+    ("etxea", "etxe"), ("etxean", "etxe"), ("etxeetan", "etxe"),
+    ("etxetik", "etxe"), ("etxera", "etxe"), ("etxeko", "etxe"),
+    ("hartu", "har"), ("hartzen", "har"), ("hartuko", "har"),
+    ("liburua", "liburu"), ("liburuetan", "liburu"),
+    ("emakumea", "emakume"), ("emakumeak", "emakume"),
+    ("hello", "hello"),
+]
+
+
+def test_basque_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("basque")
+    for w, e in BASQUE_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("eu") is st
+
+
+# Greek: hand-traced through snowball_el.py (final-sigma + accent
+# normalization, one longest-match strip).
+GREEK_GOLDENS = [
+    ("άνθρωπος", "ανθρωπ"), ("ανθρώπου", "ανθρωπ"),
+    ("άνθρωποι", "ανθρωπ"), ("ανθρώπων", "ανθρωπ"),
+    ("ανθρώπους", "ανθρωπ"),
+    ("γυναίκα", "γυναικ"), ("γυναίκες", "γυναικ"), ("γυναικών", "γυναικ"),
+    ("παιδί", "παιδ"), ("παιδιά", "παιδ"), ("παιδιών", "παιδ"),
+    ("γράφω", "γραφ"), ("γράφεις", "γραφ"), ("γράφουν", "γραφ"),
+    ("πόλη", "πολ"), ("πόλεις", "πολ"), ("πόλεων", "πολ"),
+    ("έρχονται", "ερχ"), ("έρχομαι", "ερχ"),
+    ("hello", "hello"),
+]
+
+
+def test_greek_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("greek")
+    for w, e in GREEK_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("el") is st
+
+
+# Tamil: hand-traced through snowball_ta.py (case/plural/verb strip,
+# pulli restoration after vowel-sign endings, the ங்/த்த/ட்ட sandhi
+# recodes — every paradigm member lands on the citation form).
+TAMIL_GOLDENS = [
+    ("மரம்", "மரம்"), ("மரங்கள்", "மரம்"), ("மரத்தில்", "மரம்"),
+    ("மரத்தை", "மரம்"),
+    ("புத்தகங்கள்", "புத்தகம்"),
+    ("செய்கிறேன்", "செய்"), ("செய்தேன்", "செய்"), ("செய்வேன்", "செய்"),
+    ("செய்கிறார்கள்", "செய்"),
+    ("வீடு", "வீடு"), ("வீடுகள்", "வீடு"), ("வீட்டுக்கு", "வீடு"),
+    ("வீட்டில்", "வீடு"),
+    ("தமிழ்", "தமிழ்"), ("தமிழில்", "தமிழ்"), ("தமிழால்", "தமிழ்"),
+    ("அவன்", "அவன்"), ("அவனை", "அவன்"), ("அவனுக்கு", "அவன்"),
+    ("hello", "hello"),
+]
+
+
+def test_tamil_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("tamil")
+    for w, e in TAMIL_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+    assert get_stemmer("ta") is st
+
+
 # ---- robustness: every registry stemmer must survive arbitrary tokens ----
 # A stemmer exception inside the Arrow tokenize UDF would fail the Spark
 # task (and after retries the whole 100 TB build), so totality over weird
@@ -862,8 +1074,9 @@ def test_turkish_stemmer_goldens():
 ALL_REGISTRY_STEMMERS = [
     "english", "german", "french", "spanish", "russian", "portuguese",
     "italian", "dutch", "swedish", "norwegian", "danish", "romanian",
-    "finnish", "hungarian", "indonesian", "hindi", "turkish", "porter",
-    "lancaster", "cistem",
+    "finnish", "hungarian", "indonesian", "hindi", "turkish", "arabic",
+    "catalan", "nepali", "irish", "lithuanian", "basque", "greek",
+    "tamil", "porter", "lancaster", "cistem",
 ]
 
 
