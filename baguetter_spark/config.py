@@ -25,9 +25,11 @@ class TextPreprocessorConfig:
     """Mirror of the reference preprocessor config
     (`baguetter/indices/sparse/text_preprocessor/text_processor.py:84-109`).
 
-    ``tokenizer`` supports "whitespace" (``str.split`` semantics) and
-    "wordpunct" (nltk WordPunctTokenizer regex, vendored); the nltk
-    "word"/"sent" tokenizers need trained punkt models and raise offline.
+    ``tokenizer`` supports "whitespace" (``str.split`` semantics),
+    "wordpunct" (nltk WordPunctTokenizer regex, vendored), "word" (vendored
+    Penn Treebank rule cascade over rule-split sentences) and "sent"
+    (rule-based sentence splitter — a documented deterministic
+    approximation of nltk's trained punkt model; see functions/treebank.py).
     ``stemmer`` supports "english" (vendored Snowball/Porter2) plus
     "german", "french", "spanish", "russian", "portuguese", "italian",
     "dutch", "swedish", "norwegian", "danish", "romanian", "finnish",

@@ -51,9 +51,23 @@ _ACRONYM_RE = re.compile(r"\.(?!(\S[^. ])|\d)")
 # word chars or runs of non-word non-space chars
 _WORDPUNCT_RE = re.compile(r"\w+|[^\w\s]+")
 
-# "word"/"sent" need nltk's trained punkt models — not reproducible offline;
-# "wordpunct" is a pure regex and is implemented here.
-_SUPPORTED_TOKENIZERS = ("whitespace", "wordpunct")
+# "wordpunct" is a pure regex; "word" is the published Penn Treebank rule
+# cascade over rule-split sentences and "sent" the rule-based sentence
+# splitter (functions/treebank.py — sentence boundaries are a documented
+# deterministic approximation of nltk's TRAINED punkt model).
+_SUPPORTED_TOKENIZERS = ("whitespace", "wordpunct", "word", "sent")
+
+
+def _tokenize_text(text: str, tokenizer: str) -> list[str]:
+    if tokenizer == "whitespace":
+        return text.split()
+    if tokenizer == "wordpunct":
+        return _WORDPUNCT_RE.findall(text)
+    from baguetter_spark.functions.treebank import sent_tokenize, word_tokenize
+
+    if tokenizer == "word":
+        return word_tokenize(text)
+    return sent_tokenize(text)  # "sent": sentences ARE the tokens
 
 # Latin-script fallbacks NFKD decomposition can't strip (unidecode-style)
 _DIACRITIC_EXTRA = str.maketrans(
@@ -147,9 +161,8 @@ def normalize_diacritics(text: str) -> str:
 def _resolve(cfg: TextPreprocessorConfig):
     if cfg.tokenizer not in _SUPPORTED_TOKENIZERS:
         msg = (
-            f"Tokenizer {cfg.tokenizer!r} not supported offline "
-            f"(the nltk 'word'/'sent' tokenizers need trained punkt models; "
-            f"use 'whitespace' or 'wordpunct')."
+            f"Tokenizer {cfg.tokenizer!r} not supported "
+            f"(available: {', '.join(_SUPPORTED_TOKENIZERS)})."
         )
         raise ValueError(msg)
     stopword_set: frozenset[str] | None
@@ -184,9 +197,7 @@ def make_processor(cfg: TextPreprocessorConfig | None = None) -> Callable[[str],
         if cfg.do_punctuation_removal:
             text = text.translate(_PUNCT_TRANS)
             # strip_whitespaces is a no-op under str.split() semantics
-        tokens = (
-            text.split() if cfg.tokenizer == "whitespace" else _WORDPUNCT_RE.findall(text)
-        )
+        tokens = _tokenize_text(text, cfg.tokenizer)
         if stopword_set is not None:
             tokens = [t for t in tokens if t not in stopword_set]
         if stemmer is not None:
@@ -246,8 +257,11 @@ def process_series(s: pd.Series, cfg: TextPreprocessorConfig | None = None) -> p
         s = s.str.translate(_PUNCT_TRANS)
     if cfg.tokenizer == "whitespace":
         toks = s.str.split()  # str.split() semantics: any whitespace run, no empties
-    else:  # wordpunct
+    elif cfg.tokenizer == "wordpunct":
         toks = s.str.findall(_WORDPUNCT_RE)
+    else:  # word / sent: per-row rule pipelines (still Arrow-batched upstream)
+        tk = cfg.tokenizer
+        toks = s.map(lambda t: _tokenize_text(t, tk))
     if stopword_set is not None:
         sw = stopword_set
         toks = toks.map(lambda ts: [t for t in ts if t not in sw])

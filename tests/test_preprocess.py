@@ -193,9 +193,67 @@ def test_unknown_tokenizer_raises():
 
     import pytest as _pytest
 
-    for name in ("word", "sent", "punkt", "nope"):
+    for name in ("punkt", "nope"):
         with _pytest.raises(ValueError, match="not supported"):
             make_processor(TextPreprocessorConfig(tokenizer=name))
+
+
+# Treebank word tokenizer: goldens are the canonical published examples
+# (the $3.88 muffins sentence is the documented nltk example output).
+def test_treebank_word_tokenizer_goldens():
+    from baguetter_spark.functions.treebank import (
+        sent_tokenize,
+        treebank_word_tokenize,
+        word_tokenize,
+    )
+
+    assert word_tokenize(
+        "Good muffins cost $3.88 in New York. Please buy me two of them."
+    ) == ["Good", "muffins", "cost", "$", "3.88", "in", "New", "York", ".",
+          "Please", "buy", "me", "two", "of", "them", "."]
+    assert treebank_word_tokenize("They'll save and invest more.") == [
+        "They", "'ll", "save", "and", "invest", "more", "."]
+    assert treebank_word_tokenize("hi, my name can't hello,") == [
+        "hi", ",", "my", "name", "ca", "n't", "hello", ","]
+    assert word_tokenize('He said, "I don\'t know."') == [
+        "He", "said", ",", "``", "I", "do", "n't", "know", ".", "''"]
+    assert treebank_word_tokenize("cannot gonna 'twas") == [
+        "can", "not", "gon", "na", "'t", "was"]
+    # sentence splitter: abbreviation/initial/acronym guards hold
+    assert sent_tokenize(
+        "Dr. Smith went to Washington. He arrived at 3 p.m. yesterday."
+    ) == ["Dr. Smith went to Washington.", "He arrived at 3 p.m. yesterday."]
+    assert sent_tokenize("The U.S. economy grew. Growth was 3.5%.") == [
+        "The U.S. economy grew.", "Growth was 3.5%."]
+    assert sent_tokenize("") == []
+    assert word_tokenize("") == []
+
+
+def test_word_sent_tokenizers_in_pipeline():
+    from baguetter_spark.config import TextPreprocessorConfig
+    from baguetter_spark.functions.preprocess import make_processor, process_series
+
+    # "word": punctuation removal off so Treebank sees the raw sentence
+    cfg = TextPreprocessorConfig(
+        tokenizer="word", stemmer=None, stopwords=None,
+        do_punctuation_removal=False, do_acronyms_normalization=False,
+        do_special_chars_normalization=False, do_ampersand_normalization=False,
+    )
+    proc = make_processor(cfg)
+    text = "They'll buy muffins. Costly ones!"
+    assert proc(text) == ["they", "'ll", "buy", "muffins", ".",
+                          "costly", "ones", "!"]
+    vec = process_series(pd.Series([text]), cfg)
+    assert vec.iloc[0] == proc(text)
+
+    # "sent": sentences are the tokens
+    cfg_s = TextPreprocessorConfig(
+        tokenizer="sent", stemmer=None, stopwords=None,
+        do_punctuation_removal=False, do_acronyms_normalization=False,
+        do_special_chars_normalization=False, do_ampersand_normalization=False,
+    )
+    assert make_processor(cfg_s)(text) == ["they'll buy muffins.",
+                                           "costly ones!"]
 
 
 def test_diacritics_normalization():
