@@ -1026,9 +1026,11 @@ def gate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"postings_{op}"] = setops_query(op)
     from baguetter_spark.gate2 import gate2_queries
     from baguetter_spark.gate3 import gate3_queries
+    from baguetter_spark.gate4 import gate4_queries
 
     q.update(gate2_queries())
     q.update(gate3_queries())
+    q.update(gate4_queries())
     return q
 
 
@@ -1062,7 +1064,9 @@ def gate_oracle_sql() -> dict[str, str]:
         s[f"postings_{op}"] = SETOPS_SQL[op]
     from baguetter_spark.gate2 import gate2_oracle_sql
     from baguetter_spark.gate3 import gate3_oracle_sql
+    from baguetter_spark.gate4 import gate4_oracle_sql
 
     s.update(gate2_oracle_sql())
     s.update(gate3_oracle_sql())
+    s.update(gate4_oracle_sql())
     return s

@@ -1,0 +1,163 @@
+"""Gate rows, batch 4: tokenizer parity and multimodal binary plumbing.
+
+Each query here runs on Spark through the production operators and is
+value-hash-compared against an independent DuckDB oracle by
+``scripts/check_gate.py`` / the driver's correctness harness:
+
+- ``token_stats_wordpunct`` — the vendored nltk WordPunctTokenizer
+  regex inside the Arrow tokenize UDF vs DuckDB ``regexp_extract_all``.
+  The synthetic corpus is pure ``[a-z ]`` text, so the query first
+  builds a punctuated string (``source || ': ' || text || '!'``) in
+  BOTH engines — exercising the token/punct split behavior, not just
+  whitespace.
+- ``multimodal_features`` — ``operators/multimodal.media_features``:
+  text bytes become a binary ``payload`` column, flow through the
+  Arrow-batched ``mapInPandas`` kernel (n_bytes computed INSIDE the
+  Python kernel from the raw bytes), and are checked against DuckDB's
+  ``octet_length``/``md5`` on the same synthesized payloads.
+- ``multimodal_frames`` — ``operators/multimodal.frame_sample``: the
+  explode-shaped kernel (one input row -> one row per fixed-stride
+  byte window) vs the closed-form frame count
+  ``greatest(ceil(octet_length/stride), 1)``.
+
+The decode step stays a deterministic stub (no media codecs in the
+container — documented in operators/multimodal.py); what these rows
+verify is the 100 TB-relevant part: binary columns survive the Arrow
+boundary byte-exact and the kernels' row/shape contracts hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FRAME_STRIDE = 64
+
+
+def _rich_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baguetter_spark.gate import load_documents
+
+    return load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(": "), F.col("text"), F.lit("!")).alias("rich"),
+    )
+
+
+def wordpunct_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baguetter_spark.config import TextPreprocessorConfig
+    from baguetter_spark.functions.preprocess import tokens_udf
+
+    cfg = TextPreprocessorConfig(
+        tokenizer="wordpunct", stemmer=None, stopwords=None,
+        do_ampersand_normalization=False, do_special_chars_normalization=False,
+        do_acronyms_normalization=False, do_punctuation_removal=False,
+    )
+    docs = _rich_docs(spark, sf_dir)
+    toked = docs.select("doc_id", tokens_udf(cfg)(F.col("rich")).alias("toks"))
+    return toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.element_at("toks", 1).alias("head_token"),
+        F.element_at("toks", -1).alias("tail_token"),
+    )
+
+
+WORDPUNCT_STATS_SQL = """
+WITH rich AS (
+  SELECT doc_id, source || ': ' || text || '!' AS rich FROM documents
+),
+toked AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(rich),
+            '[0-9a-z_]+|[^0-9a-z_[:space:]]+') AS toks
+  FROM rich
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       toks[1] AS head_token,
+       toks[-1] AS tail_token
+FROM toked
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table synthesized from documents: the utf-8
+    text bytes as an opaque binary payload with a typed kind column."""
+    from baguetter_spark.gate import load_documents
+
+    return load_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.col("n_chars").alias("n_chars")).alias("meta"),
+    )
+
+
+def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baguetter_spark.operators.multimodal import media_features
+
+    media = _media(spark, sf_dir)
+    feats = media_features(media, allow_stub=True)
+    # n_bytes comes out of the Python kernel; md5 is computed JVM-side on
+    # the same binary column — together they pin the Arrow round-trip
+    return feats.join(
+        media.select("media_id", F.md5("payload").alias("payload_md5")),
+        "media_id",
+    ).select(
+        "media_id", "kind", "n_bytes", "payload_md5",
+        F.size("feature").cast("long").alias("feature_dim"),
+    )
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,  -- md5 over the utf-8 bytes (= the payload)
+       CAST(16 AS BIGINT) AS feature_dim
+FROM documents
+"""
+
+
+def multimodal_frames_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baguetter_spark.operators.multimodal import frame_sample
+
+    frames = frame_sample(
+        _media(spark, sf_dir), every_n_bytes=_FRAME_STRIDE, allow_stub=True
+    )
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_no").cast("long").alias("max_frame_no"),
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       greatest(CAST(ceil(octet_length(encode(text)) / {_FRAME_STRIDE}.0) AS BIGINT),
+                1) AS n_frames,
+       greatest(CAST(ceil(octet_length(encode(text)) / {_FRAME_STRIDE}.0) AS BIGINT),
+                1) - 1 AS max_frame_no
+FROM documents
+"""
+
+
+def gate4_queries():
+    return {
+        "token_stats_wordpunct": wordpunct_stats_query,
+        "multimodal_features": multimodal_features_query,
+        "multimodal_frames": multimodal_frames_query,
+    }
+
+
+def gate4_oracle_sql():
+    return {
+        "token_stats_wordpunct": WORDPUNCT_STATS_SQL,
+        "multimodal_features": MULTIMODAL_FEATURES_SQL,
+        "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+    }
