@@ -147,11 +147,67 @@ FROM documents
 """
 
 
+# deterministic mixed-script synthesis: the corpus is pure ASCII, so the
+# query appends n_chars+1 copies of one non-Latin character by doc_id
+# residue in BOTH engines — strictly outvoting the Latin count, flipping
+# script_pred for 3 of every 4 docs
+_MIX_CASE = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 1 THEN text || repeat('ш', CAST(n_chars + 1 AS INT))
+  WHEN 2 THEN text || repeat('α', CAST(n_chars + 1 AS INT))
+  WHEN 3 THEN text || repeat('க', CAST(n_chars + 1 AS INT))
+  ELSE text
+END
+"""
+
+
+def script_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from baguetter_spark.gate import load_documents
+    from baguetter_spark.operators.textstats import script_id
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", F.expr(_MIX_CASE).alias("text")
+    )
+    return script_id(docs)
+
+
+def _script_id_sql() -> str:
+    from baguetter_spark.operators.textstats import SCRIPT_RANGES
+
+    scripts = sorted(SCRIPT_RANGES)
+    count_cols = ",\n         ".join(
+        f"CAST(length(regexp_replace(rich, '[^{SCRIPT_RANGES[s]}]', '', 'g')) "
+        f"AS BIGINT) AS chars_{s}"
+        for s in scripts
+    )
+    best = "greatest(" + ", ".join(f"chars_{s}" for s in scripts) + ")"
+    pred_branches = "\n            ".join(
+        f"WHEN chars_{s} = {best} THEN '{s}'" for s in scripts
+    )
+    return f"""
+WITH rich AS (
+  SELECT doc_id, {_MIX_CASE} AS rich FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         {count_cols}
+  FROM rich
+)
+SELECT doc_id,
+       CASE WHEN {best} <= 0 THEN 'und'
+            {pred_branches}
+       END AS script_pred,
+       {", ".join(f"chars_{s}" for s in scripts)}
+FROM counted
+"""
+
+
 def gate4_queries():
     return {
         "token_stats_wordpunct": wordpunct_stats_query,
         "multimodal_features": multimodal_features_query,
         "multimodal_frames": multimodal_frames_query,
+        "script_id_heuristic": script_id_query,
     }
 
 
@@ -160,4 +216,5 @@ def gate4_oracle_sql():
         "token_stats_wordpunct": WORDPUNCT_STATS_SQL,
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
+        "script_id_heuristic": _script_id_sql(),
     }

@@ -121,6 +121,57 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# Unicode block per script (Java/RE2-compatible char-class ranges).  Script
+# detection is O(chars) JVM-side and, unlike the function-word heuristic,
+# works for languages with no marker list — it is the router that picks a
+# stemmer for non-Latin corpora (the registry covers all of these).
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "cyrillic": "Ѐ-ӿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+    "hangul": "가-힯",
+    "latin": "A-Za-z",
+    "tamil": "஀-௿",
+}
+
+# script -> default stemmer registry name (Latin needs the function-word
+# language ID on top; Devanagari defaults to hindi — pass nepali explicitly
+# for Nepali corpora)
+SCRIPT_STEMMERS: dict[str, str] = {
+    "arabic": "arabic",
+    "cyrillic": "russian",
+    "devanagari": "hindi",
+    "greek": "greek",
+    "tamil": "tamil",
+}
+
+
+def script_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) -> (doc_id, script_pred, chars_<script>...).
+
+    Per-script character counts via one regexp_replace each (whole-stage
+    codegen, no shuffle — a pure map), argmax with lexicographic
+    tie-break, 'und' when no script character occurs."""
+    counts = [
+        F.length(F.regexp_replace(F.col(text_col), f"[^{rng}]", ""))
+        .alias(f"chars_{s}")
+        for s, rng in sorted(SCRIPT_RANGES.items())
+    ]
+    t = docs.select("doc_id", *counts)
+    scripts = sorted(SCRIPT_RANGES)
+    best = F.greatest(*[F.col(f"chars_{s}") for s in scripts])
+    pred = F.when(best <= 0, F.lit("und"))
+    for s in scripts:  # lexicographic tie-break: first max wins
+        pred = pred.when(F.col(f"chars_{s}") == best, F.lit(s))
+    return t.select(
+        "doc_id",
+        pred.alias("script_pred"),
+        *[F.col(f"chars_{s}").cast("long").alias(f"chars_{s}") for s in scripts],
+    )
+
+
 def fingerprint(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     """Order-sensitive content fingerprint over (position, term_id):
     fp = sum((term_id + 1) * ((FP_A * pos + FP_B) % FP_MOD)) % FP_MOD.

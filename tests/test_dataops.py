@@ -93,6 +93,41 @@ def test_language_id(spark, docs):
     assert out[4] == "und"
 
 
+def test_script_id(spark):
+    from baguetter_spark.operators.textstats import (
+        SCRIPT_STEMMERS,
+        script_id,
+    )
+
+    rows = [
+        (0, "plain english text here"),
+        (1, "короткий русский текст"),
+        (2, "ελληνικό κείμενο εδώ"),
+        (3, "نص عربي قصير"),
+        (4, "हिंदी पाठ"),
+        (5, "தமிழ் உரை"),
+        (6, "mixed ελ word word word"),   # latin outvotes greek
+        (7, "1234 ... !!"),               # no script chars at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_id(df).collect()}
+    assert out[0]["script_pred"] == "latin"
+    assert out[1]["script_pred"] == "cyrillic"
+    assert out[2]["script_pred"] == "greek"
+    assert out[3]["script_pred"] == "arabic"
+    assert out[4]["script_pred"] == "devanagari"
+    assert out[5]["script_pred"] == "tamil"
+    assert out[6]["script_pred"] == "latin"
+    assert out[7]["script_pred"] == "und"
+    assert out[1]["chars_cyrillic"] > 0 and out[1]["chars_latin"] == 0
+
+    # every routed stemmer name must resolve in the registry
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    for script, stem_name in SCRIPT_STEMMERS.items():
+        assert callable(get_stemmer(stem_name)), (script, stem_name)
+
+
 def test_quality(spark, docs):
     out = {r["doc_id"]: r for r in quality_score(docs).collect()}
     assert out[4]["too_short"] and out[4]["quality"] == 0.0
