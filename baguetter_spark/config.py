@@ -30,11 +30,14 @@ class TextPreprocessorConfig:
     Penn Treebank rule cascade over rule-split sentences) and "sent"
     (rule-based sentence splitter — a documented deterministic
     approximation of nltk's trained punkt model; see functions/treebank.py).
-    ``stemmer`` supports "english" (vendored Snowball/Porter2) plus
-    "german", "french", "spanish", "russian", "portuguese", "italian",
-    "dutch", "swedish", "norwegian", "danish", "romanian", "finnish",
-    "hungarian" (all vendored from the published Snowball specs), plus
-    "porter", "lancaster", "cistem", or None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
+    ``stemmer`` covers all 25 languages of the reference registry —
+    "english" (Snowball/Porter2), "german", "french", "spanish",
+    "russian", "portuguese", "italian", "dutch", "swedish", "norwegian",
+    "danish", "romanian", "finnish", "hungarian", "catalan" (published
+    Snowball specs), "indonesian", "hindi", "turkish", "arabic",
+    "irish", "nepali", "lithuanian", "basque", "greek", "tamil"
+    (published light/confix algorithms; see each module's docstring) —
+    plus "porter", "lancaster", "cistem", or None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
     None.  ``do_diacritics_normalization`` (engine extension, default off —
     the reference ships ``normalize_diacritics`` but never wires it into its
     pipeline) ASCII-folds diacritics after special-chars normalization.
