@@ -67,7 +67,10 @@ def _tokenize_text(text: str, tokenizer: str) -> list[str]:
 
     if tokenizer == "word":
         return word_tokenize(text)
-    return sent_tokenize(text)  # "sent": sentences ARE the tokens
+    if tokenizer == "sent":
+        return sent_tokenize(text)  # sentences ARE the tokens
+    msg = f"no tokenize branch for {tokenizer!r}"  # _resolve validates first
+    raise ValueError(msg)
 
 # Latin-script fallbacks NFKD decomposition can't strip (unidecode-style)
 _DIACRITIC_EXTRA = str.maketrans(

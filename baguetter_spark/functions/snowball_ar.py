@@ -13,9 +13,10 @@ Light10 in three passes:
 1. normalize — strip tatweel and harakat (diacritics), fold the hamza'd
    alifs (آ أ إ) to bare alif, final alif-maqsura (ى) to ya (ي), and
    final ta-marbuta (ة) to ha (ه);
-2. strip ONE definite-article prefix from {ال وال بال كال فال لل}
-   (remainder >= 2 letters), else the single conjunction و
-   (remainder >= 3 — the stricter floor keeps short stems intact);
+2. strip the conjunction و first (remainder >= 3 — the stricter floor
+   keeps short stems intact; و can precede any other prefix, as in
+   وبالقلم = wa+bi+al+qalam), then ONE definite-article prefix from
+   {ال وال بال كال فال لل} (remainder >= 2 letters);
 3. strip suffixes from {ها ان ات ون ين يه ية ه ة ي}, checked in that
    order and each removable once (the scan continues down the list, so
    e.g. ...يتها loses ها then continues), remainder >= 2 letters.
@@ -67,13 +68,14 @@ def _normalize(word: str) -> str:
 
 def stem(word: str) -> str:
     w = _normalize(word)
+    # Light10 order: the conjunction و comes off FIRST (it can precede any
+    # other prefix — وبالقلم is wa+bi+al+qalam), then one article pass
+    if w.startswith(_PREFIX_WAW) and len(w) >= 4:
+        w = w[1:]
     for p in _PREFIXES_AL:
         if w.startswith(p) and len(w) - len(p) >= 2:
             w = w[len(p):]
             break
-    else:
-        if w.startswith(_PREFIX_WAW) and len(w) >= 4:
-            w = w[1:]
     for s in _SUFFIXES:
         if w.endswith(s) and len(w) - len(s) >= 2:
             w = w[: -len(s)]

@@ -50,13 +50,9 @@ def _demutate(word: str) -> str:
         return word[2:]
     for cl in _ECLIPSIS:
         if word.startswith(cl) and len(word) > len(cl) + 1:
-            # mb/gc/nd/bp/dt/ng keep their second letter; bhf keeps f;
-            # ts keeps... the s?  no: ts-prefix masks s (an tsúil -> súil)
-            if cl == "bhf":
-                return word[2:]
-            if cl == "ts":
-                return word[1:]
-            return word[1:]
+            # every eclipsis prefix is one letter long except bhf (bh
+            # masking f): drop 2 chars there, 1 everywhere else
+            return word[2:] if cl == "bhf" else word[1:]
     # lenition: C + h + (vowel | r l n)
     if (len(word) > 2 and word[:2] in _LENITED
             and (word[2] in _VOWELS or word[2] in "rln")):

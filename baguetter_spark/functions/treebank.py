@@ -116,9 +116,12 @@ def sent_tokenize(text: str) -> list[str]:
     start = 0
     for m in _BOUNDARY_RE.finditer(text):
         end = m.end(1)
-        candidate = text[start:end]
-        # the word carrying the terminator, stripped of the terminator
-        last = candidate.rsplit(None, 1)[-1] if candidate.split() else ""
+        # the word carrying the terminator: look back over a bounded window
+        # (abbreviations are short; a >64-char "word" is never one).  A
+        # full candidate re-split here would be quadratic on texts dense
+        # with suppressed boundaries (e.g. pages of dotted initials).
+        window = text[max(start, end - 64):end]
+        last = window.rsplit(None, 1)[-1]
         core = last.rstrip(".!?\"')]")
         low = core.lower()
         if last.endswith("."):
@@ -127,7 +130,7 @@ def sent_tokenize(text: str) -> list[str]:
                 continue
             if "." in core:  # u.s.a. style internal dots
                 continue
-        sentences.append(candidate.strip())
+        sentences.append(text[start:end].strip())
         start = m.end()
     tail = text[start:].strip()
     if tail:

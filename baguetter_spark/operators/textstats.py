@@ -132,7 +132,7 @@ SCRIPT_RANGES: dict[str, str] = {
     "devanagari": "ऀ-ॿ",
     "greek": "Ͱ-Ͽ",
     "hangul": "가-힯",
-    "latin": "A-Za-z",
+    "latin": "A-Za-zÀ-ÖØ-öø-ÿĀ-ž",  # ASCII + Latin-1 Supplement + Extended-A
     "tamil": "஀-௿",
 }
 

@@ -108,6 +108,7 @@ def test_script_id(spark):
         (5, "தமிழ் உரை"),
         (6, "mixed ελ word word word"),   # latin outvotes greek
         (7, "1234 ... !!"),               # no script chars at all
+        (8, "đỗ quyên ở đó très tôt"),    # accented latin still counts
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in script_id(df).collect()}

@@ -920,6 +920,7 @@ ARABIC_GOLDENS = [
     ("وقال", "قال"),           # conjunction و (remainder >= 3)
     ("للطلاب", "طلاب"),        # لل article
     ("بالقلم", "قلم"),         # bal-
+    ("وبالقلم", "قلم"),       # wa+bal-: conjunction comes off FIRST
     ("معلمين", "معلم"),        # plural ين
     ("مدرسة", "مدرس"),         # final ة -> ه -> stripped
     ("مستشفى", "مستشف"),       # final ى -> ي -> stripped
