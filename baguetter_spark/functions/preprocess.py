@@ -33,6 +33,7 @@ from __future__ import annotations
 import re
 import string
 from collections.abc import Callable
+from dataclasses import replace
 from typing import TYPE_CHECKING, Iterator
 
 import pandas as pd
@@ -292,5 +293,73 @@ def tokens_udf(cfg: TextPreprocessorConfig | None = None):
     def _tokenize(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batch_iter:
             yield process_series(s, cfg_copy)
+
+    return _tokenize
+
+
+# ------------------------------------------------------- multilingual route
+
+# worker-global: lang name -> resolved stemmer fn, or None (unresolvable —
+# e.g. "zh": CJK does not stem; unknown codes degrade to no stemming rather
+# than failing the 100 TB task or mis-stemming with the wrong language)
+_LANG_STEMMERS: dict[str, Callable[[str], str] | None] = {}
+
+
+def _stemmer_for_lang(lang: str | None) -> Callable[[str], str] | None:
+    key = (lang or "").strip().lower()
+    if key not in _LANG_STEMMERS:
+        from baguetter_spark.functions.snowball import get_stemmer
+
+        try:
+            _LANG_STEMMERS[key] = get_stemmer(key) if key else None
+        except ValueError:
+            _LANG_STEMMERS[key] = None
+    return _LANG_STEMMERS[key]
+
+
+def process_series_multilang(
+    texts: pd.Series, langs: pd.Series, cfg: TextPreprocessorConfig | None = None
+) -> pd.Series:
+    """Per-document stemmer routing for mixed-language corpora.
+
+    Normalization, tokenization and stopwords follow ``cfg`` exactly (note:
+    a configured stopword list applies to every row — pass
+    ``stopwords=None`` for corpora where English stopwords would be wrong);
+    ``cfg.stemmer`` is IGNORED and instead each row is stemmed with the
+    registry stemmer named by its ``langs`` value (ISO code or full name —
+    the registry accepts both).  Rows whose language has no vendored
+    stemmer (e.g. ``zh``) or is null/unknown pass through unstemmed: at
+    100 TB degraded-but-correct beats task failure or wrong-language
+    stemming.  Pair with :func:`baguetter_spark.operators.textstats.script_id`
+    + ``SCRIPT_STEMMERS`` when the corpus has no lang column.
+    """
+    cfg = cfg or TextPreprocessorConfig()
+    base_cfg = replace(cfg, stemmer=None)
+    toks = process_series(texts, base_cfg)
+    out = toks.copy()
+    for lang in langs.fillna("").unique():
+        stemmer = _stemmer_for_lang(lang)
+        if stemmer is None:
+            continue
+        mask = (langs.fillna("") == lang).to_numpy()
+        cache = _STEM_CACHES.setdefault(stemmer, {})
+        stemmed = _stem_tokens_cached(toks[mask], stemmer, cache)
+        out[mask] = stemmed.map(lambda ts: [t for t in ts if t])  # T10
+    return out
+
+
+def multilang_tokens_udf(cfg: TextPreprocessorConfig | None = None):
+    """Spark pandas UDF ``(text string, lang string) -> array<string>``
+    running the pipeline with per-row stemmer routing (Arrow-batched)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cfg_copy = cfg or TextPreprocessorConfig()
+
+    @pandas_udf("array<string>")
+    def _tokenize(
+        batch_iter: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for texts, langs in batch_iter:
+            yield process_series_multilang(texts, langs, cfg_copy)
 
     return _tokenize

@@ -229,6 +229,49 @@ def test_treebank_word_tokenizer_goldens():
     assert word_tokenize("") == []
 
 
+def test_multilang_stemmer_routing():
+    """Per-document stemmer routing: each row stemmed with its lang's
+    registry stemmer; languages with no vendored stemmer (zh) and unknown
+    codes pass through unstemmed (never fail, never wrong-language-stem)."""
+    from baguetter_spark.config import TextPreprocessorConfig
+    from baguetter_spark.functions.preprocess import (
+        make_processor,
+        process_series_multilang,
+    )
+
+    cfg = TextPreprocessorConfig(stopwords=None)
+    texts = pd.Series([
+        "running quickly",
+        "die häuser laufen",
+        "las casas corrieron",
+        "这是中文文本",
+        "maisons françaises",
+        "unknown language words",
+    ])
+    langs = pd.Series(["en", "de", "es", "zh", "fr", "xx"])
+    out = process_series_multilang(texts, langs, cfg).tolist()
+    assert out[0] == ["run", "quick"]
+    assert out[1] == ["die", "haus", "lauf"]
+    assert out[2] == ["las", "cas", "corr"]
+    assert out[3] == ["这是中文文本"]          # no CJK stemmer: unstemmed
+    assert out[4] == ["maison", "français"]
+    assert out[5] == ["unknown", "language", "words"]  # unknown lang
+
+    # each routed row must equal the single-language pipeline's output
+    for i, lang in (("0", "en"), (1, "de"), (2, "es"), (4, "fr")):
+        i = int(i)
+        proc = make_processor(
+            TextPreprocessorConfig(stopwords=None, stemmer=lang)
+        )
+        assert out[i] == proc(texts[i]), (lang, out[i])
+
+    # null lang -> unstemmed, not an exception
+    out2 = process_series_multilang(
+        pd.Series(["running"]), pd.Series([None]), cfg
+    ).tolist()
+    assert out2 == [["running"]]
+
+
 def test_word_sent_tokenizers_in_pipeline():
     from baguetter_spark.config import TextPreprocessorConfig
     from baguetter_spark.functions.preprocess import make_processor, process_series
