@@ -256,6 +256,17 @@ def test_dedup_config_validation():
         DedupConfig(sh_bits=64, sh_bands=8)
 
 
+def test_script_id_plan_is_pure_map(spark):
+    """script_id must stay a shuffle-free whole-stage-codegen map — at
+    100 TB a stray Exchange here would shuffle the entire text corpus."""
+    from baguetter_spark.operators.textstats import script_id
+
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    plan = script_id(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # the whole-stage-codegen stage marker
+
+
 def test_simhash_plan_has_no_crossjoin(spark, docs, vocab):
     """The fingerprint is computed as 32 conditional sums over ONE pass of
     1x rows (VERDICT r2 'what's wrong' #1) — the 32-row bit-table crossJoin
