@@ -19,6 +19,11 @@ value-hash-compared against an independent DuckDB oracle by
   explode-shaped kernel (one input row -> one row per fixed-stride
   byte window) vs the closed-form frame count
   ``greatest(ceil(octet_length/stride), 1)``.
+- ``script_id_heuristic`` — Unicode-script detection with deterministic
+  mixed-script synthesis in both engines.
+- ``streaming_dedup_digest`` — stateful Structured-Streaming exact
+  dedup (``dropDuplicates`` state across micro-batches): corpus plus
+  injected duplicates in, exactly the distinct-md5 set out.
 
 The decode step stays a deterministic stub (no media codecs in the
 container — documented in operators/multimodal.py); what these rows
@@ -202,12 +207,59 @@ FROM counted
 """
 
 
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup: ingest the corpus PLUS an injected
+    duplicate copy of every 5th document (different conv_id, same text);
+    exactly one row must survive per distinct text digest, so the output
+    digest set equals DuckDB's ``SELECT DISTINCT md5(text)`` — duplicates,
+    injected or corpus-internal, add nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from baguetter_spark.gate import load_documents
+    from baguetter_spark.streaming.ingest import stream_dedup_ingest
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"gate_sdedup_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    docs = load_documents(spark, sf_dir)
+
+    def as_tr(df, conv_prefix):
+        return df.select(
+            F.concat(F.lit(conv_prefix), F.col("doc_id").cast("string")).alias(
+                "conv_id"
+            ),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+
+    tr = as_tr(docs, "c").unionByName(
+        as_tr(docs.where(F.col("doc_id") % 5 == 0), "dup")
+    )
+    tr.write.mode("overwrite").parquet(src)
+    q = stream_dedup_ingest(spark, src, out, ckpt, available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out).select("digest").distinct()
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT md5(text) AS digest FROM documents
+"""
+
+
 def gate4_queries():
     return {
         "token_stats_wordpunct": wordpunct_stats_query,
         "multimodal_features": multimodal_features_query,
         "multimodal_frames": multimodal_frames_query,
         "script_id_heuristic": script_id_query,
+        "streaming_dedup_digest": streaming_dedup_query,
     }
 
 
@@ -217,4 +269,5 @@ def gate4_oracle_sql():
         "multimodal_features": MULTIMODAL_FEATURES_SQL,
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "script_id_heuristic": _script_id_sql(),
+        "streaming_dedup_digest": STREAMING_DEDUP_SQL,
     }

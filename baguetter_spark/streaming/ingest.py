@@ -47,6 +47,49 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    watermark: str | None = None,
+):
+    """Stateful streaming exact-dedup ingestion: exactly one surviving row
+    per distinct text digest ACROSS micro-batches (and across restarts —
+    the dedup state lives in the checkpoint).
+
+    State policy: with ``watermark=None`` the digest state grows with the
+    number of distinct documents (exact forever-dedup — the semantics batch
+    ``exact_duplicates`` has).  At 100 TB that state is itself large, so
+    production streams should pass a watermark (e.g. ``"7 days"``) to use
+    ``dropDuplicatesWithinWatermark`` — bounded state, dedup guaranteed only
+    within the watermark horizon; which-row-survives within a digest group
+    is arbitrary either way (the digest SET is the deterministic output).
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("digest", F.md5("text"))
+    )
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["digest"]
+        )
+    else:
+        stream = stream.dropDuplicates(["digest"])
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_turn_stats(spark: SparkSession, source_dir: str) -> DataFrame:
     """Watermarked windowed aggregation: turns per (10-minute window, role).
     Late turns beyond the 30-minute watermark are dropped deterministically."""

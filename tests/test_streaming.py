@@ -59,6 +59,49 @@ def test_stream_ingest_byte_identity(spark, tmp_path, source_dir):
     assert spark.read.parquet(out).count() == len(expected)
 
 
+def test_stream_dedup_state_survives_micro_batches(spark, tmp_path):
+    """The dedup state must hold ACROSS stream restarts on one checkpoint:
+    a text ingested in run 1 must not re-emit when a later drop repeats it,
+    and distinct digests must each survive exactly once."""
+    import pandas as pd
+
+    from baguetter_spark.streaming.ingest import stream_dedup_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ts = pd.Timestamp("2025-01-01")
+
+    def drop(name, rows):
+        from baguetter_spark.schema import TRANSCRIPTS_SCHEMA
+
+        sdf = spark.createDataFrame(
+            [(c, 0, "user", t, None, ts.to_pydatetime()) for c, t in rows],
+            schema=TRANSCRIPTS_SCHEMA,
+        )
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import os, shutil
+
+        for f in os.listdir(tmp_path / name):
+            if f.endswith(".parquet"):
+                shutil.copy(tmp_path / name / f, src / f"{name}.parquet")
+
+    # run 1: three texts, one internal duplicate
+    drop("d1", [("a", "alpha text"), ("b", "beta text"), ("c", "alpha text")])
+    stream_dedup_ingest(spark, str(src), out, ckpt).awaitTermination(120)
+    got1 = spark.read.parquet(out).toPandas()
+    assert sorted(got1["text"].unique()) == ["alpha text", "beta text"]
+    assert len(got1) == 2
+
+    # run 2 (same checkpoint): repeats run-1 texts + one new — only the new
+    # text may emit, proving the digest state crossed the restart
+    drop("d2", [("x", "alpha text"), ("y", "gamma text"), ("z", "beta text")])
+    stream_dedup_ingest(spark, str(src), out, ckpt).awaitTermination(120)
+    got2 = spark.read.parquet(out).toPandas()
+    assert len(got2) == 3
+    assert sorted(got2["text"]) == ["alpha text", "beta text", "gamma text"]
+
+
 def test_stream_turn_stats_schema(spark, tmp_path, source_dir):
     src, expected = source_dir
     agg = stream_turn_stats(spark, src)
