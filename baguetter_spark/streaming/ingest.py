@@ -111,6 +111,128 @@ def stream_turn_stats(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+_DUR_UNITS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(dur: str) -> int:
+    n, unit = dur.strip().split()
+    return int(n) * _DUR_UNITS[unit.lower()]
+
+
+def stream_conversation_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    gap: str = "30 minutes",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-
+    conversation running session state (turn count, char count, first/last
+    event time) maintained across micro-batches, emitted when the
+    conversation times out on the event-time watermark (no new turns
+    within ``gap``).
+
+    The built-in ``session_window`` covers plain gap-sessionization; this
+    kernel exists for the state shapes it cannot express (running
+    aggregates over the session that are not algebraic — here the turn
+    sequence is summarized with a rolling order-sensitive fingerprint of
+    per-turn text lengths, the kind of custom state a dedup/quality
+    pipeline keeps per conversation).
+
+    State per group is O(1) (five scalars) — the 100 TB shape: state size
+    scales with #live conversations, not #turns.
+    """
+    from typing import Any, Iterator as _Iter, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_turns", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+            StructField("len_fingerprint", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_turns", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("first_ts_us", LongType()),
+            StructField("last_ts_us", LongType()),
+            StructField("fp", LongType()),
+        ]
+    )
+    mod = 2147483647  # rolling fingerprint modulus (FP_MOD of textstats)
+
+    def update(
+        key: Tuple[str], pdfs: _Iter[pd.DataFrame], state: GroupState
+    ) -> _Iter[pd.DataFrame]:
+        if state.hasTimedOut:
+            n_turns, n_chars, first_us, last_us, fp = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n_turns],
+                    "n_chars": [n_chars],
+                    "first_ts": [pd.Timestamp(first_us, unit="us")],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "len_fingerprint": [fp],
+                }
+            )
+            return
+        n_turns, n_chars, first_us, last_us, fp = (
+            state.get if state.exists else (0, 0, None, None, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["turn_idx"])
+            for text, ts in zip(pdf["text"], pdf["ts"]):
+                ln = len(text) if isinstance(text, str) else 0
+                n_turns += 1
+                n_chars += ln
+                fp = (fp * 1000003 + ln + 7) % mod
+                us = int(pd.Timestamp(ts).value // 1000)
+                first_us = us if first_us is None else min(first_us, us)
+                last_us = us if last_us is None else max(last_us, us)
+        state.update((n_turns, n_chars, first_us, last_us, fp))
+        # timeout = max(last event, watermark) + gap: cannot be set older
+        # than the current watermark, and a conversation stays live while
+        # new turns keep arriving
+        gap_ms = _duration_ms(gap)
+        base_ms = max(last_us // 1000, state.getCurrentWatermarkMs())
+        state.setTimeoutTimestamp(base_ms + gap_ms)
+        return
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", gap)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_build_segments(
     spark: SparkSession,
     source_dir: str,

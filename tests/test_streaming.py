@@ -102,6 +102,80 @@ def test_stream_dedup_state_survives_micro_batches(spark, tmp_path):
     assert sorted(got2["text"]) == ["alpha text", "beta text", "gamma text"]
 
 
+def test_stream_conversation_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-conversation state
+    accumulates across micro-batches and emits on event-time timeout.
+    Drop 2's much-later timestamps advance the watermark past drop 1's
+    conversations + gap, so exactly those sessions emit, with turn/char
+    counts and the order-sensitive length fingerprint accumulated in
+    state."""
+    import pandas as pd
+
+    from baguetter_spark.schema import TRANSCRIPTS_SCHEMA
+    from baguetter_spark.streaming.ingest import stream_conversation_sessions
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(name, rows):
+        sdf = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+        d = tmp_path / name
+        sdf.coalesce(1).write.mode("overwrite").parquet(str(d))
+        import os, shutil
+
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(d / f, src / f"{name}.parquet")
+
+    t = pd.Timestamp("2025-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    drop(
+        "d1",
+        [
+            ("convA", 0, "user", "hello", None, t.to_pydatetime()),
+            ("convA", 1, "assistant", "hi there", None, (t + m).to_pydatetime()),
+            ("convB", 0, "user", "xyz", None, (t + 2 * m).to_pydatetime()),
+        ],
+    )
+
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            stream_conversation_sessions(spark, str(src), gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 0  # nothing timed out yet
+
+    # drop 2: a turn 10 hours later pushes the watermark past drop 1 + gap
+    drop(
+        "d2",
+        [("convC", 0, "user", "late", None, (t + pd.Timedelta(hours=10)).to_pydatetime())],
+    )
+    run()
+    rows = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"convA", "convB"}
+    a = rows["convA"]
+    assert a["n_turns"] == 2
+    assert a["n_chars"] == len("hello") + len("hi there")
+    assert a["first_ts"] == t.to_pydatetime()
+    assert a["last_ts"] == (t + m).to_pydatetime()
+    # order-sensitive fingerprint: len("hello")=5, len("hi there")=8
+    mod, fp = 2147483647, 0
+    for ln in (5, 8):
+        fp = (fp * 1000003 + ln + 7) % mod
+    assert a["len_fingerprint"] == fp
+    assert rows["convB"]["n_turns"] == 1
+
+
 def test_stream_turn_stats_schema(spark, tmp_path, source_dir):
     src, expected = source_dir
     agg = stream_turn_stats(spark, src)
