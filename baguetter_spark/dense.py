@@ -14,7 +14,11 @@ composes with MultiSparkIndex for hybrid sparse+dense retrieval
 
 Score normalization mirrors the reference's distance->score mapping
 (usearch.py:23-44): cosine -> 1 - cos_distance == cosine similarity;
-inner-product -> the raw dot product.
+inner-product -> the raw dot product; l2sq -> negated squared distance
+(descending score == the reference's ascending-distance order); the
+bitwise metrics (hamming / jaccard / tanimoto / sorensen — the reference
+b1 dtype surface) -> similarities per operators/binary_sim.py's contract,
+each a strictly decreasing function of the usearch distance.
 """
 
 from __future__ import annotations
@@ -23,7 +27,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_METRICS = ("cosine", "ip")
+_METRICS = ("cosine", "ip", "l2sq", "hamming", "jaccard", "tanimoto", "sorensen")
+# metrics scored over sign-quantized packed bits (reference b1 dtype,
+# usearch.py:23-44) — see operators/binary_sim.py for the score contract
+_BINARY_METRICS = ("hamming", "jaccard", "tanimoto", "sorensen")
 
 
 def _dot(a, b):
@@ -51,6 +58,9 @@ class DenseSparkIndex:
     ) -> None:
         if metric not in _METRICS:
             msg = f"unsupported metric {metric!r}; choose from {_METRICS}"
+            raise ValueError(msg)
+        if use_lsh and metric not in ("cosine", "ip"):
+            msg = f"use_lsh (sign-plane angular buckets) requires cosine/ip, not {metric!r}"
             raise ValueError(msg)
         self.spark = spark
         self.metric = metric
@@ -122,6 +132,17 @@ class DenseSparkIndex:
             emb = self.vectors.withColumn("bucket", lsh_bucket(F.col("vector"), dim))
             qb = q.withColumn("bucket", lsh_bucket(F.col("qvec"), dim))
             joined = emb.join(F.broadcast(qb), "bucket")
+        elif self.metric in _BINARY_METRICS:
+            # pack BEFORE the join: one quantize pass per side; the pair scan
+            # then touches only the 32x-smaller packed words (never re-packs
+            # per pair — Catalyst does not CSE across join inputs)
+            from baguetter_spark.operators.binary_sim import pack_bits
+
+            packed = self.vectors.select(
+                "doc_id", pack_bits(F.col("vector"), dim).alias("vector")
+            )
+            qp = q.select("query_id", pack_bits(F.col("qvec"), dim).alias("qvec"))
+            joined = packed.crossJoin(F.broadcast(qp))
         else:
             joined = self.vectors.crossJoin(F.broadcast(q))
 
@@ -133,12 +154,27 @@ class DenseSparkIndex:
                 _dot(F.col("vector"), F.col("qvec")),
                 _norm(F.col("vector")) * _norm(F.col("qvec")),
             )
-        else:  # ip
+        elif self.metric == "ip":
             score = _dot(F.col("vector"), F.col("qvec"))
+        elif self.metric == "l2sq":
+            # negated squared distance: descending score == ascending
+            # distance (reference L2sq order); monotone, rank-identical
+            diff = F.zip_with(F.col("vector"), F.col("qvec"), lambda x, y: x - y)
+            score = -F.aggregate(
+                F.transform(diff, lambda d: d * d), F.lit(0.0), lambda s, x: s + x
+            )
+        else:  # sign-quantized bitwise metrics (reference b1 dtype);
+            # vector/qvec are already packed words (see join branch above)
+            from baguetter_spark.operators.binary_sim import binary_score
+
+            score = binary_score(
+                F.col("vector"), F.col("qvec"), self.metric, dim
+            )
 
         scored = joined.select("query_id", "doc_id", score.alias("score"))
-        # drop zero-norm casualties instead of letting them poison the top-k
-        if self.metric == "cosine":
+        # drop zero-norm / empty-bitset casualties instead of letting them
+        # poison the top-k (binary try_divide ratios yield NULL on 0/0)
+        if self.metric in ("cosine", *_BINARY_METRICS):
             scored = scored.where(
                 F.col("score").isNotNull() & ~F.isnan(F.col("score"))
             )

@@ -253,6 +253,132 @@ SELECT DISTINCT md5(text) AS digest FROM documents
 """
 
 
+def knn_hamming_b1_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-quantize the embeddings to packed bits (reference b1 dtype) and
+    rank hamming-similarity top-5 — operators/binary_sim.binary_topk.  The
+    oracle rebuilds the exact 32-bit words with an exact double-precision
+    power-of-two sum and DuckDB's own bit_count(xor())."""
+    from baguetter_spark.gate import EMB_DIM, EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.binary_sim import binary_topk
+
+    return binary_topk(
+        _emb_double(spark, sf_dir), EMB_QUERY_IDS, metric="hamming", k=5, dim=EMB_DIM
+    )
+
+
+def knn_l2sq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-5 (reference usearch MetricKind.L2sq),
+    ascending distance — operators/similarity.l2sq_topk."""
+    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.similarity import l2sq_topk
+
+    return l2sq_topk(_emb_double(spark, sf_dir), EMB_QUERY_IDS, k=5)
+
+
+def _knn_hamming_sql() -> str:
+    from baguetter_spark.gate import EMB_DIM, EMB_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in EMB_QUERY_IDS)
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, unnest(embedding) AS x
+  FROM embeddings
+),
+words AS (
+  SELECT vec_id, CAST(floor(d / 32.0) AS INT) AS w,
+         CAST(sum(CASE WHEN x > 0 THEN power(2.0, CAST(d % 32 AS INT)) ELSE 0 END) AS BIGINT) AS word
+  FROM flat GROUP BY vec_id, CAST(floor(d / 32.0) AS INT)
+),
+q AS (SELECT vec_id AS query_id, w, word AS qword FROM words WHERE vec_id IN ({ids})),
+pairs AS (
+  SELECT q.query_id, e.vec_id, sum(bit_count(xor(e.word, q.qword))) AS ham
+  FROM words e JOIN q USING (w) WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id
+),
+scored AS (
+  SELECT query_id, vec_id, round(1.0 - ham / {EMB_DIM}.0, 6) AS sim_r FROM pairs
+),
+ranked AS (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sim_r FROM ranked WHERE rank <= 5
+"""
+
+
+def _knn_l2sq_sql() -> str:
+    from baguetter_spark.gate import EMB_DIM, EMB_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in EMB_QUERY_IDS)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id IN ({ids})),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))), 6) AS l2sq_r
+  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, l2sq_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY l2sq_r ASC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, l2sq_r FROM ranked WHERE rank <= 5
+"""
+
+
+def knn_i8_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """i8 scalar quantization (reference usearch i8 dtype) + cosine over the
+    integer codes — operators/binary_sim.i8_cosine_topk.  The quantized
+    codes are bit-reproducible in DuckDB (identical expression shape +
+    half-away-from-zero rounding on identical doubles)."""
+    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.binary_sim import i8_cosine_topk
+
+    return i8_cosine_topk(_emb_double(spark, sf_dir), EMB_QUERY_IDS, k=5)
+
+
+def _knn_i8_sql() -> str:
+    from baguetter_spark.gate import EMB_DIM, EMB_QUERY_IDS
+
+    ids = ", ".join(str(i) for i in EMB_QUERY_IDS)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM emb
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(round(CASE WHEN ma = 0 THEN 0.0 ELSE x * 127.0 / ma END, 0) AS BIGINT)) AS c
+  FROM mx
+),
+q AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id IN ({ids})),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> e.c[i] * q.qc[i])) AS dot,
+         list_sum(list_transform(e.c, x -> x * x)) AS na,
+         list_sum(list_transform(q.qc, x -> x * x)) AS nb
+  FROM codes e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim_r
+  FROM pairs WHERE na > 0 AND nb > 0
+),
+ranked AS (
+  SELECT query_id, vec_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sim_r FROM ranked WHERE rank <= 5
+"""
+
+
 def gate4_queries():
     return {
         "token_stats_wordpunct": wordpunct_stats_query,
@@ -260,6 +386,9 @@ def gate4_queries():
         "multimodal_frames": multimodal_frames_query,
         "script_id_heuristic": script_id_query,
         "streaming_dedup_digest": streaming_dedup_query,
+        "knn_hamming_b1": knn_hamming_b1_query,
+        "knn_l2sq_brute": knn_l2sq_query,
+        "knn_i8_cosine": knn_i8_cosine_query,
     }
 
 
@@ -270,4 +399,7 @@ def gate4_oracle_sql():
         "multimodal_frames": MULTIMODAL_FRAMES_SQL,
         "script_id_heuristic": _script_id_sql(),
         "streaming_dedup_digest": STREAMING_DEDUP_SQL,
+        "knn_hamming_b1": _knn_hamming_sql(),
+        "knn_l2sq_brute": _knn_l2sq_sql(),
+        "knn_i8_cosine": _knn_i8_sql(),
     }

@@ -108,6 +108,47 @@ def cosine_topk(
     )
 
 
+def l2sq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k (reference usearch MetricKind.L2sq — the
+    default faiss/usearch metric alongside cos/ip; ascending distance).
+
+    (query_id, rank, vec_id, l2sq_r): rank on the 6-dp-rounded squared
+    distance ASCENDING with vec_id tie-break; self-matches excluded.  Ranking
+    reuses the descending two-phase ``per_query_topk`` on the negated
+    distance (monotone), then emits the positive distance.
+    """
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    diff = F.zip_with(F.col(vec_col), F.col("qvec"), lambda x, y: x - y)
+    l2sq = F.aggregate(
+        F.transform(diff, lambda d: d * d), F.lit(0.0), lambda s, x: s + x
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        (-F.round(l2sq, 6)).alias("neg_dist"),
+    )
+    scored = _drop_unrankable(scored, "neg_dist")
+    topped = per_query_topk(scored, k, id_col="vec_id", score_col="neg_dist")
+    return topped.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.round(-F.col("neg_dist"), 6).alias("l2sq_r"),
+    )
+
+
 def cosine_radius(
     embeddings: DataFrame,
     query_ids: list[int],
