@@ -3,7 +3,13 @@ reference dense indexes' b1 dtype + bitwise metric surface
 (`/root/reference/baguetter/indices/dense/usearch.py:54-131` — the ``dtype``
 constructor param feeds usearch's b1 packed-bit storage; `usearch.py:23-44`
 ``get_normalization_fn`` enumerates the bitwise metrics Hamming / Jaccard /
-Tanimoto / Sorensen and maps each engine distance to a score).
+Tanimoto / Sorensen and maps each engine distance to a score).  The same
+pair of quantizers backs the reference's embedding-side precisions
+(`utils/model_helpers.py:52` ``precision: float32|int8|uint8|binary|
+ubinary``): ``binary``/``ubinary`` are this module's sign packing (signed
+vs unsigned storage of identical bit patterns — popcount metrics are
+storage-sign-agnostic), ``int8``/``uint8`` are ``quantize_i8`` up to the
++128 offset.
 
 Spark-first design
 ------------------
