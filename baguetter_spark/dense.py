@@ -98,12 +98,35 @@ class DenseSparkIndex:
             self.vectors = self.vectors.where(~F.col("doc_id").isin(keys)).persist()
         return self
 
+    def _radius_floor(self, radius: float, dim: int):
+        """Translate the reference's distance-domain ``radius``
+        (usearch.py:232-326 ``search(..., radius=math.inf)``) into a floor on
+        this engine's score domain, per metric:
+
+        cosine: cos_distance = 1 - cos      -> score >= 1 - radius
+        ip:     distance = -dot             -> score >= -radius
+        l2sq:   distance = sum((x-y)^2)     -> score (= -dist) >= -radius
+        hamming: distance = popcount(xor)   -> score >= 1 - radius/dim
+        jaccard/tanimoto/sorensen: distance = 1 - similarity
+                                            -> score >= 1 - radius
+        """
+        if self.metric == "ip" or self.metric == "l2sq":
+            return -radius
+        if self.metric == "hamming":
+            return 1.0 - radius / float(dim)
+        return 1.0 - radius
+
     # ----------------------------------------------------------------- search
-    def score_queries(self, queries: DataFrame, *, top_k: int = 100) -> DataFrame:
+    def score_queries(
+        self, queries: DataFrame, *, top_k: int = 100, radius: float = float("inf")
+    ) -> DataFrame:
         """queries(query_id, vector) -> (query_id, rank, doc_id, score).
 
         Broadcast the (small) query matrix across the embedding scan — one
-        narrow stage, no shuffle until the per-query window top-k.
+        narrow stage, no shuffle until the per-query window top-k.  A finite
+        ``radius`` (reference usearch search param, distance domain) drops
+        every candidate beyond it BEFORE ranking — the selective predicate
+        runs scan-side, so a tight radius also shrinks the top-k shuffle.
         """
         if self.vectors is None:
             msg = "DenseSparkIndex is empty: call build()/add_many() before searching"
@@ -178,6 +201,8 @@ class DenseSparkIndex:
             scored = scored.where(
                 F.col("score").isNotNull() & ~F.isnan(F.col("score"))
             )
+        if radius != float("inf"):
+            scored = scored.where(F.col("score") >= self._radius_floor(radius, dim))
         # two-phase rank-safe top-k (operators/search.per_query_topk): no
         # full-partition window — hot-query straggler defense at 10^9 vectors
         from baguetter_spark.operators.search import per_query_topk
@@ -185,7 +210,13 @@ class DenseSparkIndex:
         topped = per_query_topk(scored, top_k, id_col="doc_id")
         return topped.select("query_id", "rank", "doc_id", "score")
 
-    def search_many(self, query_vectors: list[list[float]], *, top_k: int = 100):
+    def search_many(
+        self,
+        query_vectors: list[list[float]],
+        *,
+        top_k: int = 100,
+        radius: float = float("inf"),
+    ):
         qdf = self.spark.createDataFrame(
             pd.DataFrame(
                 {
@@ -194,7 +225,7 @@ class DenseSparkIndex:
                 }
             )
         )
-        rows = self.score_queries(qdf, top_k=top_k).collect()
+        rows = self.score_queries(qdf, top_k=top_k, radius=radius).collect()
         by_q: dict[str, list] = {f"q{i}": [] for i in range(len(query_vectors))}
         for r in rows:
             by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
@@ -204,5 +235,11 @@ class DenseSparkIndex:
             out.append(([d for _, d, _ in entries], [s for _, _, s in entries]))
         return out
 
-    def search(self, query_vector: list[float], *, top_k: int = 100):
-        return self.search_many([query_vector], top_k=top_k)[0]
+    def search(
+        self,
+        query_vector: list[float],
+        *,
+        top_k: int = 100,
+        radius: float = float("inf"),
+    ):
+        return self.search_many([query_vector], top_k=top_k, radius=radius)[0]

@@ -211,6 +211,42 @@ def test_binary_metric_registry_guards(spark):
         binary_topk(df, [0], metric="cosine", k=1, dim=2)
 
 
+def test_dense_radius_param_reference_semantics(spark):
+    """`search(..., radius=r)` keeps only docs within distance r (reference
+    usearch radius mode), in each metric's own distance domain."""
+    dim = 16
+    vecs = _vecs(25, dim, seed=31)
+    keys = [f"d{i:02d}" for i in range(25)]
+    q = vecs[9]
+
+    cos_idx = DenseSparkIndex(spark, metric="cosine").add_many(
+        keys, [list(v) for v in vecs]
+    )
+    got, scores = cos_idx.search(list(q), top_k=25, radius=0.7)
+    sims = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = {keys[i] for i in range(25) if 1.0 - sims[i] <= 0.7}
+    assert set(got) == want
+    assert all(s >= 0.3 - 1e-12 for s in scores)
+
+    l2_idx = DenseSparkIndex(spark, metric="l2sq").add_many(
+        keys, [list(v) for v in vecs]
+    )
+    d2 = ((vecs - q) ** 2).sum(axis=1)
+    r = float(np.median(d2))
+    got, _ = l2_idx.search(list(q), top_k=25, radius=r)
+    assert set(got) == {keys[i] for i in range(25) if d2[i] <= r}
+
+    ham_idx = DenseSparkIndex(spark, metric="hamming").add_many(
+        keys, [list(v) for v in vecs]
+    )
+    bits = _np_pack(vecs, dim)
+    ham = np.array(
+        [sum(bin(a ^ b).count("1") for a, b in zip(row, bits[9])) for row in bits]
+    )
+    got, _ = ham_idx.search(list(q), top_k=25, radius=5.0)
+    assert set(got) == {keys[i] for i in range(25) if ham[i] <= 5}
+
+
 def test_all_zero_vector_unrankable_for_ratio_metrics(spark):
     """A vector that quantizes to the empty bitset has NULL jaccard/sorensen
     vs another empty bitset (0/0) — dropped, never ranked above real docs."""
