@@ -118,7 +118,12 @@ class DenseSparkIndex:
 
     # ----------------------------------------------------------------- search
     def score_queries(
-        self, queries: DataFrame, *, top_k: int = 100, radius: float = float("inf")
+        self,
+        queries: DataFrame,
+        *,
+        top_k: int = 100,
+        radius: float = float("inf"),
+        exact_search: bool | None = None,
     ) -> DataFrame:
         """queries(query_id, vector) -> (query_id, rank, doc_id, score).
 
@@ -127,6 +132,10 @@ class DenseSparkIndex:
         ``radius`` (reference usearch search param, distance domain) drops
         every candidate beyond it BEFORE ranking — the selective predicate
         runs scan-side, so a tight radius also shrinks the top-k shuffle.
+        ``exact_search`` overrides the index's ``use_lsh`` default per call
+        (reference usearch.py:232-240: ``If None, uses the index's default``):
+        True forces the exact brute scan, False the LSH-bucketed approximate
+        path (angular metrics only).
         """
         if self.vectors is None:
             msg = "DenseSparkIndex is empty: call build()/add_many() before searching"
@@ -149,7 +158,14 @@ class DenseSparkIndex:
                 ),
             ),
         ).drop("__dimchk")
-        if self.use_lsh:
+        use_lsh = self.use_lsh if exact_search is None else not exact_search
+        if use_lsh and self.metric not in ("cosine", "ip"):
+            msg = (
+                "exact_search=False (sign-plane angular LSH) requires "
+                f"cosine/ip, not {self.metric!r}"
+            )
+            raise ValueError(msg)
+        if use_lsh:
             from baguetter_spark.operators.similarity import lsh_bucket
 
             emb = self.vectors.withColumn("bucket", lsh_bucket(F.col("vector"), dim))
@@ -216,6 +232,7 @@ class DenseSparkIndex:
         *,
         top_k: int = 100,
         radius: float = float("inf"),
+        exact_search: bool | None = None,
     ):
         qdf = self.spark.createDataFrame(
             pd.DataFrame(
@@ -225,7 +242,9 @@ class DenseSparkIndex:
                 }
             )
         )
-        rows = self.score_queries(qdf, top_k=top_k, radius=radius).collect()
+        rows = self.score_queries(
+            qdf, top_k=top_k, radius=radius, exact_search=exact_search
+        ).collect()
         by_q: dict[str, list] = {f"q{i}": [] for i in range(len(query_vectors))}
         for r in rows:
             by_q[r["query_id"]].append((r["rank"], r["doc_id"], r["score"]))
@@ -241,5 +260,8 @@ class DenseSparkIndex:
         *,
         top_k: int = 100,
         radius: float = float("inf"),
+        exact_search: bool | None = None,
     ):
-        return self.search_many([query_vector], top_k=top_k, radius=radius)[0]
+        return self.search_many(
+            [query_vector], top_k=top_k, radius=radius, exact_search=exact_search
+        )[0]

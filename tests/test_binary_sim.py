@@ -247,6 +247,29 @@ def test_dense_radius_param_reference_semantics(spark):
     assert set(got) == {keys[i] for i in range(25) if ham[i] <= 5}
 
 
+def test_exact_search_per_call_override(spark):
+    """Reference usearch.py:232-240: exact_search=None uses the index
+    default, True forces the brute scan (LSH index answers == brute),
+    False demands an angular metric."""
+    dim = 12
+    vecs = _vecs(20, dim, seed=13)
+    keys = [f"d{i:02d}" for i in range(20)]
+    lsh_idx = DenseSparkIndex(spark, metric="cosine", use_lsh=True).add_many(
+        keys, [list(v) for v in vecs]
+    )
+    brute_idx = DenseSparkIndex(spark, metric="cosine").add_many(
+        keys, [list(v) for v in vecs]
+    )
+    got_exact = lsh_idx.search(list(vecs[2]), top_k=5, exact_search=True)
+    want = brute_idx.search(list(vecs[2]), top_k=5)
+    assert got_exact == want
+    ham_idx = DenseSparkIndex(spark, metric="hamming").add_many(
+        keys, [list(v) for v in vecs]
+    )
+    with pytest.raises(ValueError, match="exact_search=False"):
+        ham_idx.search(list(vecs[2]), top_k=5, exact_search=False)
+
+
 def test_all_zero_vector_unrankable_for_ratio_metrics(spark):
     """A vector that quantizes to the empty bitset has NULL jaccard/sorensen
     vs another empty bitset (0/0) — dropped, never ranked above real docs."""
