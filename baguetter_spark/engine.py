@@ -171,6 +171,37 @@ class BM25SparkIndex:
         res = self.score_queries(qdf, top_k=top_k)
         return self._collect(res, ["q0"], strip_turn=self.synthetic_turn_suffix)[0]
 
+    # ------------------------------------------------------------ persistence
+    def push_to_repository(self, repository, name: str) -> str:
+        """Save the built index into an IndexRepository (reference
+        ``push_to_hub``, utils/persistable.py:131-165 — repo swapped for a
+        Hadoop FS URI, see repository.py).  Returns the index URI."""
+        if self.index is None:
+            msg = "build() the index before pushing it to a repository"
+            raise RuntimeError(msg)
+        return repository.push(self.index, name)
+
+    @classmethod
+    def load_from_repository(cls, spark: SparkSession, repository, name: str):
+        """Load a named index from an IndexRepository (reference
+        ``load_from_hub``, utils/persistable.py:97-129).  ``repository`` may
+        be an IndexRepository or a base URI string.  The loaded kind must
+        match the class: BM25 saves load through BM25SparkIndex, BMX saves
+        through BMXSparkIndex."""
+        from baguetter_spark.repository import IndexRepository
+
+        if isinstance(repository, str):
+            repository = IndexRepository(spark, repository)
+        idx = repository.pull(name)
+        want_bmx = issubclass(cls, BMXSparkIndex)
+        if isinstance(idx, BMXIndex) != want_bmx:
+            kind = "bmx" if isinstance(idx, BMXIndex) else "bm25"
+            msg = f"repository index {name!r} is kind={kind}; load it via the matching class"
+            raise TypeError(msg)
+        inst = cls(spark, idx.config)
+        inst.index = idx
+        return inst
+
 
 class BMXSparkIndex(BM25SparkIndex):
     """Distributed BMX index: the Spark counterpart of `BMXSparseIndex`

@@ -75,15 +75,35 @@ def _partition_lineage(df: DataFrame) -> list[dict]:
     return [{"partition": int(r["__pid"]), "rows": int(r["rows"])} for r in sorted(rows, key=lambda r: r["__pid"])]
 
 
-def write_manifest(path: str, payload: dict) -> None:
+def _has_fs_scheme(path: str) -> bool:
+    """True for URI-schemed paths (s3a://bucket/p, hdfs://nn/p, file:/p) that
+    must go through the Hadoop FileSystem API instead of the local ``os``
+    module.  Scheme-less paths keep the fast local-file manifest IO."""
+    import re
+
+    return bool(re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:", path))
+
+
+def write_manifest(path: str, payload: dict, *, spark: SparkSession | None = None) -> None:
+    text = json.dumps(payload, indent=2, sort_keys=True)
+    if spark is not None and _has_fs_scheme(path):
+        from baguetter_spark.repository import hadoop_write_text
+
+        hadoop_write_text(spark, path.rstrip("/") + "/" + MANIFEST_NAME, text)
+        return
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2, sort_keys=True)
+        f.write(text)
     os.replace(tmp, os.path.join(path, MANIFEST_NAME))
 
 
-def read_manifest(path: str) -> dict | None:
+def read_manifest(path: str, *, spark: SparkSession | None = None) -> dict | None:
+    if spark is not None and _has_fs_scheme(path):
+        from baguetter_spark.repository import hadoop_read_text
+
+        text = hadoop_read_text(spark, path.rstrip("/") + "/" + MANIFEST_NAME)
+        return json.loads(text) if text is not None else None
     p = os.path.join(path, MANIFEST_NAME)
     if not os.path.exists(p):
         return None
@@ -150,26 +170,30 @@ class StageRunner:
 # ---------------------------------------------------------------------------
 
 
-def save_index(index: BM25Index, base_path: str, *, fmt: str = "parquet") -> str:
+def save_index(index, base_path: str, *, fmt: str = "parquet") -> str:
+    """Persist a BM25Index or BMXIndex (reference `base.py:162-218` single-npz
+    pickle → immutable parquet tables + manifest).  The manifest records the
+    index kind so `load_index` reconstructs the right dataclass."""
+    kind = "bmx" if not hasattr(index, "total_postings") else "bm25"
     io = TableIO(index.doc_map.sparkSession, base_path, fmt)
     io.write(index.doc_map, "doc_map", range_by=["doc_idx"])
     io.write(index.vocab, "vocab", range_by=["term_id"])
     # range-partitioned + sorted by term_id: parquet row-group min/max stats
     # give term-level scan pruning at query time (the mmap-load counterpart)
     io.write(index.postings, "postings", range_by=["term_id", "block_id"])
-    write_manifest(
-        base_path,
-        {
-            "stage": "index",
-            "status": "SUCCESS",
-            "n_docs": index.n_docs,
-            "avg_doc_len": index.avg_doc_len,
-            "total_postings": index.total_postings,
-            "config": index.config.to_dict(),
-            "config_hash": index.config.config_hash(),
-            "tables": {"doc_map": "doc_map", "vocab": "vocab", "postings": "postings"},
-        },
-    )
+    payload = {
+        "stage": "index",
+        "status": "SUCCESS",
+        "kind": kind,
+        "n_docs": index.n_docs,
+        "avg_doc_len": index.avg_doc_len,
+        "config": index.config.to_dict(),
+        "config_hash": index.config.config_hash(),
+        "tables": {"doc_map": "doc_map", "vocab": "vocab", "postings": "postings"},
+    }
+    if kind == "bm25":
+        payload["total_postings"] = index.total_postings
+    write_manifest(base_path, payload, spark=index.doc_map.sparkSession)
     return base_path
 
 
@@ -317,8 +341,10 @@ def build_index_resumable(
     return index
 
 
-def load_index(spark: SparkSession, base_path: str, *, fmt: str = "parquet") -> BM25Index:
-    manifest = read_manifest(base_path)
+def load_index(spark: SparkSession, base_path: str, *, fmt: str = "parquet"):
+    """Load a saved index; returns BM25Index or BMXIndex per the manifest's
+    ``kind`` (pre-kind manifests load as BM25, the only kind they could be)."""
+    manifest = read_manifest(base_path, spark=spark)
     if not manifest or manifest.get("status") != "SUCCESS":
         msg = f"no SUCCESS manifest at {base_path}"
         raise FileNotFoundError(msg)
@@ -326,6 +352,17 @@ def load_index(spark: SparkSession, base_path: str, *, fmt: str = "parquet") -> 
     tables = manifest.get(
         "tables", {"doc_map": "doc_map", "vocab": "vocab", "postings": "postings"}
     )
+    if manifest.get("kind") == "bmx":
+        from baguetter_spark.operators.bmx import BMXIndex
+
+        return BMXIndex(
+            doc_map=io.read(tables["doc_map"]),
+            vocab=io.read(tables["vocab"]),
+            postings=io.read(tables["postings"]),
+            n_docs=int(manifest["n_docs"]),
+            avg_doc_len=float(manifest["avg_doc_len"]),
+            config=SparseIndexConfig.from_dict(manifest["config"]),
+        )
     return BM25Index(
         doc_map=io.read(tables["doc_map"]).select("doc_idx", "doc_id", "doc_len"),
         vocab=io.read(tables["vocab"]),

@@ -229,6 +229,15 @@ def main() -> None:
     }
     if probe_pre is not None:
         out["probe_pre"] = probe_pre
+        # bracketing post-probe: pre alone cannot see interference that
+        # arrives DURING the ~90 s run (BENCH/BASELINE.md protocol v6);
+        # pre+post green at least brackets the window
+        try:
+            from bench_scaling import probes
+
+            out["probe_post"] = probes()
+        except Exception:  # pragma: no cover - probe helper unavailable
+            pass
     print(json.dumps(out), flush=True)
     spark.stop()
 
