@@ -154,6 +154,30 @@ def resumable_build_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_digest_of(loaded)
 
 
+def repository_roundtrip_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexRepository push/pull round-trip (the reference's hub
+    persistence surface, utils/persistable.py:96-165, over a Hadoop FS
+    URI): push the built index into a ``file:``-schemed repository (the
+    manifest travels through the Hadoop FileSystem API, the same code
+    path an s3a:// deployment uses), assert the catalog lists it, pull
+    it back and digest the postings against the build oracle."""
+    from baguetter_spark.operators.indexer import build_index
+    from baguetter_spark.repository import IndexRepository
+
+    cfg = _gate_cfg()
+    base = os.path.join(
+        tempfile.gettempdir(), f"gate_repo_{os.path.basename(sf_dir)}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    repo = IndexRepository(spark, base)  # scheme-less -> file: URI
+    idx = build_index(spark, documents_as_transcripts(spark, sf_dir), cfg)
+    repo.push(idx, "gate-docs")
+    if repo.list_indexes() != ["gate-docs"]:
+        msg = f"repository catalog mismatch: {repo.list_indexes()}"
+        raise AssertionError(msg)
+    return postings_digest_of(repo.pull("gate-docs"))
+
+
 def streaming_ingest_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow streaming ingestion of the documents corpus (as
     transcript drops); per-turn text must survive byte-identical —
@@ -389,6 +413,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": ann_ivf_exhaustive_query,
         "merge_equals_rebuild": merge_equals_rebuild_query,
         "resumable_build_digest": resumable_build_digest_query,
+        "repository_roundtrip_digest": repository_roundtrip_digest_query,
         "streaming_ingest_digest": streaming_ingest_digest_query,
         "dedup_simhash_pairs": simhash_pairs_query,
         "bm25_presorted_digest": presorted_build_digest_query,
@@ -405,6 +430,7 @@ def gate3_oracle_sql() -> dict[str, str]:
         "ann_ivf_exhaustive": KNN_BRUTE_SQL,
         "merge_equals_rebuild": POSTINGS_DIGEST_SQL,
         "resumable_build_digest": POSTINGS_DIGEST_SQL,
+        "repository_roundtrip_digest": POSTINGS_DIGEST_SQL,
         "streaming_ingest_digest": STREAMING_INGEST_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(),
         "bm25_presorted_digest": POSTINGS_DIGEST_SQL,
