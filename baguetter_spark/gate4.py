@@ -379,6 +379,79 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sim_r FROM ranked WHERE r
 """
 
 
+RERANK_QUERIES: list[tuple[str, str]] = [
+    ("r1", "sort merge join fast"),
+    ("r2", "stream batch window"),
+    ("r3", "data dup zzmissingtoken"),
+]
+RERANK_TOP_K = 10
+
+
+def rerank_token_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/rerank.rerank_topk end-to-end: candidate pairs through the
+    Arrow-batched pair-scorer pass (token_overlap_scorer, the deterministic
+    model-slot stand-in — reference create_post_processing_fn,
+    utils/model_helpers.py:117-176) and the two-phase per-query top-k
+    re-sort.  Candidates here are a full doc x query cross (bounded gate
+    fixture); production candidates come from a retriever's top-k."""
+    import pandas as pd
+
+    from baguetter_spark.gate import load_documents
+    from baguetter_spark.operators.rerank import rerank_topk, token_overlap_scorer
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("doc_text")
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame(RERANK_QUERIES, columns=["query_id", "query_text"])
+    )
+    out = rerank_topk(
+        docs.crossJoin(F.broadcast(q)),
+        token_overlap_scorer,
+        top_k=RERANK_TOP_K,
+        id_col="doc_id",
+    )
+    return out.select("query_id", "doc_id", "rerank_score")
+
+
+def _rerank_sql() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in RERANK_QUERIES)
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {vals}),
+qtok AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id, unnest(string_split_regex(lower(qtext), '[ \t\n]+')) AS tok FROM q
+  ) WHERE tok <> ''
+),
+qn AS (SELECT query_id, count(*) AS nq FROM qtok GROUP BY query_id),
+dtok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+ov AS (
+  SELECT qtok.query_id, dtok.doc_id, count(*) AS novl
+  FROM qtok JOIN dtok USING (tok) GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(COALESCE(ov.novl, 0) AS DOUBLE) / qn.nq AS rerank_score
+  FROM q
+  CROSS JOIN documents d
+  JOIN qn ON qn.query_id = q.query_id
+  LEFT JOIN ov ON ov.query_id = q.query_id AND ov.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rerank_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rerank_score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, rerank_score FROM ranked WHERE rn <= {RERANK_TOP_K}
+"""
+
+
 def gate4_queries():
     return {
         "token_stats_wordpunct": wordpunct_stats_query,
@@ -389,6 +462,7 @@ def gate4_queries():
         "knn_hamming_b1": knn_hamming_b1_query,
         "knn_l2sq_brute": knn_l2sq_query,
         "knn_i8_cosine": knn_i8_cosine_query,
+        "rerank_token_overlap": rerank_token_overlap_query,
     }
 
 
@@ -402,4 +476,5 @@ def gate4_oracle_sql():
         "knn_hamming_b1": _knn_hamming_sql(),
         "knn_l2sq_brute": _knn_l2sq_sql(),
         "knn_i8_cosine": _knn_i8_sql(),
+        "rerank_token_overlap": _rerank_sql(),
     }
