@@ -145,3 +145,95 @@ def embed_texts(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def cached_embed_texts(
+    df: DataFrame,
+    embed_fn: EmbedFn,
+    *,
+    dim: int,
+    cache_path: str,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    is_query: bool = False,
+    query_prompt: str | None = None,
+    document_prompt: str | None = None,
+    truncation_dim: int | None = None,
+    batch_size: int = 256,
+) -> DataFrame:
+    """:func:`embed_texts` behind a persistent embedding cache — the Spark
+    counterpart of the reference's ``NumpyCache`` / ``@numpy_cache``
+    memoization (``utils/numpy_cache.py:15-122``, SHA-512-keyed disk+memory
+    cache wrapped around the embed call in ``model_helpers.py:44-45``).
+
+    The reference memoizes per process on local disk; at 100 TB the cache
+    is a shared table and memoization is relational:
+
+    1. key every row by ``sha2(prompted_text, 512)`` (prompt participates
+       in the key, as it does in the reference's hashed call args);
+    2. LEFT JOIN against the cache table at ``cache_path`` — hits reuse
+       the stored vector, the model never sees them;
+    3. run the model (one Arrow pass) over the ANTI-JOIN misses only;
+    4. APPEND the new ``(cache_key, embedding)`` rows back to the cache
+       (key-deduplicated within the batch — append-only parquet, no
+       rewrite of existing cache files).
+
+    Like the reference's one-directory-per-model layout
+    (``cache_postfix=model name``), one ``cache_path`` belongs to ONE
+    (model, dim, truncation) configuration — mixing configurations in a
+    cache is the caller's error, as it is in the reference.
+
+    The miss set is persisted before the cache write so returned rows
+    reuse the just-computed vectors instead of re-running the model.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prompt = (query_prompt if is_query else document_prompt) or ""
+    keyed = df.withColumn(
+        "__cache_key", F.sha2(F.concat(F.lit(prompt), F.col(text_col)), 512)
+    )
+
+    try:
+        cache = spark.read.parquet(cache_path).select(
+            "cache_key", F.col(out_col).alias("__cached")
+        )
+    except Exception:  # first call: no cache table yet
+        cache = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cache_key", T.StringType(), False),
+                    T.StructField("__cached", T.ArrayType(T.FloatType(), False), True),
+                ]
+            ),
+        )
+
+    joined = keyed.join(
+        cache.withColumnRenamed("cache_key", "__cache_key"), "__cache_key", "left"
+    )
+    hits = joined.where(F.col("__cached").isNotNull()).select(
+        *df.columns, F.col("__cached").alias(out_col)
+    )
+    misses = joined.where(F.col("__cached").isNull()).drop("__cached")
+
+    embedded = embed_texts(
+        misses,
+        embed_fn,
+        dim=dim,
+        text_col=text_col,
+        out_col=out_col,
+        is_query=is_query,
+        query_prompt=query_prompt,
+        document_prompt=document_prompt,
+        truncation_dim=truncation_dim,
+        batch_size=batch_size,
+    ).persist()
+
+    new_rows = embedded.select(
+        F.col("__cache_key").alias("cache_key"), F.col(out_col)
+    ).dropDuplicates(["cache_key"])
+    if not new_rows.isEmpty():
+        new_rows.write.mode("append").parquet(cache_path)
+
+    return hits.union(embedded.select(*df.columns, out_col))

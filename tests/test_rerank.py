@@ -162,6 +162,57 @@ def test_model_embedder_refuses_without_model():
         model_embedder(None)
 
 
+def test_cached_embed_texts_memoizes(spark, tmp_path):
+    """Reference NumpyCache semantics (utils/numpy_cache.py): second call
+    must NOT re-run the model for cached texts.  Proven by swapping in a
+    zeros-embedder on call 2: cached rows keep their call-1 vectors, only
+    the genuinely new text gets zeros."""
+    from baguetter_spark.operators.embedding import cached_embed_texts, hash_embedder
+
+    cache = str(tmp_path / "embcache")
+    df1 = spark.createDataFrame(pd.DataFrame({"text": ["aa", "bb"]}))
+    real = hash_embedder(4)
+    out1 = (
+        cached_embed_texts(df1, real, dim=4, cache_path=cache)
+        .toPandas()
+        .set_index("text")
+    )
+    assert len(out1) == 2 and np.linalg.norm(out1.loc["aa", "embedding"]) > 0.9
+
+    def zeros(texts):
+        return np.zeros((len(texts), 4), dtype=np.float32)
+
+    df2 = spark.createDataFrame(pd.DataFrame({"text": ["aa", "bb", "cc"]}))
+    out2 = (
+        cached_embed_texts(df2, zeros, dim=4, cache_path=cache)
+        .toPandas()
+        .set_index("text")
+    )
+    assert len(out2) == 3
+    assert np.array_equal(out2.loc["aa", "embedding"], out1.loc["aa", "embedding"])
+    assert np.array_equal(out2.loc["bb", "embedding"], out1.loc["bb", "embedding"])
+    assert np.linalg.norm(out2.loc["cc", "embedding"]) == 0.0  # the one real miss
+
+
+def test_cached_embed_prompt_in_key(spark, tmp_path):
+    """Prompted and unprompted encodings of the same text are different
+    cache entries (the prompt participates in the reference's hashed args)."""
+    from baguetter_spark.operators.embedding import cached_embed_texts, hash_embedder
+
+    cache = str(tmp_path / "embcache2")
+    df = spark.createDataFrame(pd.DataFrame({"text": ["same"]}))
+    fn = hash_embedder(4)
+    plain = cached_embed_texts(df, fn, dim=4, cache_path=cache).toPandas()[
+        "embedding"
+    ][0]
+    prompted = cached_embed_texts(
+        df, fn, dim=4, cache_path=cache, document_prompt="passage: "
+    ).toPandas()["embedding"][0]
+    assert not np.array_equal(plain, prompted)
+    # two distinct cache rows
+    assert spark.read.parquet(cache).count() == 2
+
+
 def test_embed_into_dense_index_roundtrip(spark):
     """embed -> DenseSparkIndex: each doc's own text, embedded as a query,
     must return that doc as the top cosine hit (hash embeddings are
