@@ -104,13 +104,14 @@ class DenseSparkIndex:
         this engine's score domain, per metric:
 
         cosine: cos_distance = 1 - cos      -> score >= 1 - radius
-        ip:     distance = -dot             -> score >= -radius
+        ip:     distance = 1 - dot (usearch's ip kernel: d = 1 - <a,b>)
+                                            -> score (= dot) >= 1 - radius
         l2sq:   distance = sum((x-y)^2)     -> score (= -dist) >= -radius
         hamming: distance = popcount(xor)   -> score >= 1 - radius/dim
         jaccard/tanimoto/sorensen: distance = 1 - similarity
                                             -> score >= 1 - radius
         """
-        if self.metric == "ip" or self.metric == "l2sq":
+        if self.metric == "l2sq":
             return -radius
         if self.metric == "hamming":
             return 1.0 - radius / float(dim)

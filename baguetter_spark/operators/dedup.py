@@ -71,8 +71,11 @@ class DedupConfig:
         if self.sh_bits % self.sh_bands:
             msg = "sh_bits must be a multiple of sh_bands"
             raise ValueError(msg)
-        if self.sh_bits > 62:
-            msg = "sh_bits > 62 would overflow the bigint fingerprint"
+        if self.sh_bits > 32:
+            # the term hash is mod 2^32 (simhash_fingerprints), so bits 32+
+            # would be constant zero — identical bands across all docs would
+            # degenerate the band join into a full cross product
+            msg = "sh_bits > 32 exceeds the 32-bit term hash (bits would be 0)"
             raise ValueError(msg)
 
     @property

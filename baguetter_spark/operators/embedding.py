@@ -183,15 +183,23 @@ def cached_embed_texts(
     (model, dim, truncation) configuration — mixing configurations in a
     cache is the caller's error, as it is in the reference.
 
-    The miss set is persisted before the cache write so returned rows
-    reuse the just-computed vectors instead of re-running the model.
+    The returned DataFrame joins the input back against the cache table
+    AFTER the append (write-then-reread), so the result reads vectors
+    from parquet and no executor storage stays pinned across calls; the
+    miss set is persisted only for the duration of the append itself.
     """
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
     prompt = (query_prompt if is_query else document_prompt) or ""
+    # coalesce: NULL text embeds as "" (embed_texts contract), so it must
+    # key as "" too — a NULL key would never join a cache hit and would
+    # append a fresh NULL row on every call
     keyed = df.withColumn(
-        "__cache_key", F.sha2(F.concat(F.lit(prompt), F.col(text_col)), 512)
+        "__cache_key",
+        F.sha2(
+            F.concat(F.lit(prompt), F.coalesce(F.col(text_col), F.lit(""))), 512
+        ),
     )
 
     try:
@@ -212,9 +220,6 @@ def cached_embed_texts(
     joined = keyed.join(
         cache.withColumnRenamed("cache_key", "__cache_key"), "__cache_key", "left"
     )
-    hits = joined.where(F.col("__cached").isNotNull()).select(
-        *df.columns, F.col("__cached").alias(out_col)
-    )
     misses = joined.where(F.col("__cached").isNull()).drop("__cached")
 
     embedded = embed_texts(
@@ -229,11 +234,27 @@ def cached_embed_texts(
         truncation_dim=truncation_dim,
         batch_size=batch_size,
     ).persist()
+    try:
+        new_rows = embedded.select(
+            F.col("__cache_key").alias("cache_key"), F.col(out_col)
+        ).dropDuplicates(["cache_key"])
+        if not new_rows.isEmpty():
+            new_rows.write.mode("append").parquet(cache_path)
+    finally:
+        # the returned plan reads the just-appended rows back from the cache
+        # table, so nothing stays pinned in executor storage after the write
+        embedded.unpersist()
 
-    new_rows = embedded.select(
-        F.col("__cache_key").alias("cache_key"), F.col(out_col)
-    ).dropDuplicates(["cache_key"])
-    if not new_rows.isEmpty():
-        new_rows.write.mode("append").parquet(cache_path)
-
-    return hits.union(embedded.select(*df.columns, out_col))
+    try:
+        full_cache = spark.read.parquet(cache_path).select(
+            F.col("cache_key").alias("__cache_key"), F.col(out_col)
+        )
+    except Exception:  # empty input on a nonexistent cache: nothing written
+        full_cache = cache.select(
+            F.col("cache_key").alias("__cache_key"),
+            F.col("__cached").alias(out_col),
+        )
+    # concurrent writers may race duplicate keys into the append-only
+    # table; any one row per key is the same vector for one model config
+    full_cache = full_cache.dropDuplicates(["__cache_key"])
+    return keyed.join(full_cache, "__cache_key").select(*df.columns, out_col)

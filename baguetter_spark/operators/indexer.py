@@ -308,10 +308,6 @@ def local_term_frequencies(docs: DataFrame, config: SparseIndexConfig) -> DataFr
     once per partition (``term`` nullable elsewhere); everything downstream
     keys on the 8-byte term_hash.  Replaces exploded_terms+groupBy
     (reference corpus scan + per-doc TF, scoring.py:207-329 B1/B7)."""
-    from collections import Counter
-
-    from baguetter_spark.functions.preprocess import process_series
-
     pre = config.preprocessor
 
     def tok_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -319,49 +315,73 @@ def local_term_frequencies(docs: DataFrame, config: SparseIndexConfig) -> DataFr
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks = process_series(pdf["text"], pre)
             di_in = pdf["doc_idx"].to_numpy(dtype=np.int64)
-            terms: list[str] = []
-            tfs: list[int] = []
-            n_unique = np.empty(len(pdf), dtype=np.int64)
-            doc_lens = np.empty(len(pdf), dtype=np.int64)
-            for i, lst in enumerate(toks):
-                c = Counter(lst)
-                terms.extend(c.keys())
-                tfs.extend(c.values())
-                n_unique[i] = len(c)
-                doc_lens[i] = len(lst)
-            if not terms:
-                continue
-            doc_idx = np.repeat(di_in, n_unique)
-            doc_len = np.repeat(doc_lens, n_unique).astype(np.int32)
-            term_arr = np.asarray(terms, dtype=object)
-            hashes = hash_terms(term_arr)
-            # string witness: first occurrence in batch AND not yet emitted
-            # by this partition (vectorized dedup; the Python loop touches
-            # only batch-unique terms, a small set under Zipf)
-            first_mask = ~pd.Series(hashes).duplicated().to_numpy()
-            if len(seen) > _SEEN_TERMS_CAP:
-                seen.clear()
-            for j in np.flatnonzero(first_mask):
-                t = term_arr[j]
-                if t in seen:
-                    first_mask[j] = False
-                else:
-                    seen.add(t)
-            term_col = np.where(first_mask, term_arr, None)
-            yield pd.DataFrame(
-                {
-                    "doc_idx": doc_idx,
-                    "doc_len": doc_len,
-                    "term_hash": hashes,
-                    "term": term_col,
-                    "tf": np.asarray(tfs, dtype=np.int64),
-                }
-            )
+            out = count_terms_batch(pdf, di_in, pre, seen)
+            if out is not None:
+                yield out
 
     return docs.select("doc_idx", "text").mapInPandas(
-        tok_tf, schema="doc_idx long, doc_len int, term_hash long, term string, tf long"
+        tok_tf, schema=TF_BATCH_SCHEMA
+    )
+
+
+TF_BATCH_SCHEMA = "doc_idx long, doc_len int, term_hash long, term string, tf long"
+
+
+def count_terms_batch(
+    pdf: pd.DataFrame, di_in: np.ndarray, pre, seen: set[str]
+) -> pd.DataFrame | None:
+    """Tokenize-and-count one Arrow batch: the shared kernel body of
+    local_term_frequencies and presorted.presorted_local_tf (the two build
+    paths must stay byte-identical — any fix to the witness emission or the
+    seen cap lands here once).
+
+    ``di_in`` is the caller's per-row doc index (column-read vs presorted
+    arange — the ONLY difference between the two paths); ``seen`` is the
+    partition-scoped witness set.  Returns None for a token-free batch.
+    """
+    from collections import Counter
+
+    from baguetter_spark.functions.preprocess import process_series
+
+    toks = process_series(pdf["text"], pre)
+    terms: list[str] = []
+    tfs: list[int] = []
+    n_unique = np.empty(len(pdf), dtype=np.int64)
+    doc_lens = np.empty(len(pdf), dtype=np.int64)
+    for i, lst in enumerate(toks):
+        c = Counter(lst)
+        terms.extend(c.keys())
+        tfs.extend(c.values())
+        n_unique[i] = len(c)
+        doc_lens[i] = len(lst)
+    if not terms:
+        return None
+    doc_idx = np.repeat(di_in, n_unique)
+    doc_len = np.repeat(doc_lens, n_unique).astype(np.int32)
+    term_arr = np.asarray(terms, dtype=object)
+    hashes = hash_terms(term_arr)
+    # string witness: first occurrence in batch AND not yet emitted
+    # by this partition (vectorized dedup; the Python loop touches
+    # only batch-unique terms, a small set under Zipf)
+    first_mask = ~pd.Series(hashes).duplicated().to_numpy()
+    if len(seen) > _SEEN_TERMS_CAP:
+        seen.clear()
+    for j in np.flatnonzero(first_mask):
+        t = term_arr[j]
+        if t in seen:
+            first_mask[j] = False
+        else:
+            seen.add(t)
+    term_col = np.where(first_mask, term_arr, None)
+    return pd.DataFrame(
+        {
+            "doc_idx": doc_idx,
+            "doc_len": doc_len,
+            "term_hash": hashes,
+            "term": term_col,
+            "tf": np.asarray(tfs, dtype=np.int64),
+        }
     )
 
 

@@ -242,10 +242,7 @@ def presorted_local_tf(
     term) counts (doc_idx, doc_len, term_hash, term?, tf) in ONE Arrow pass
     with no shuffle — the presorted counterpart of
     indexer.local_term_frequencies (same output contract)."""
-    from collections import Counter
-
-    from baguetter_spark.functions.preprocess import process_series
-    from baguetter_spark.operators.indexer import _SEEN_TERMS_CAP, hash_terms
+    from baguetter_spark.operators.indexer import TF_BATCH_SCHEMA, count_terms_batch
 
     pre = config.preprocessor
     narrow = transcripts.select("conv_id", "turn_idx", "text").withColumn(
@@ -266,43 +263,10 @@ def presorted_local_tf(
             pid = int(pdf["__pid"].iloc[0])
             start = off[pid] + local
             local += len(pdf)
-            toks = process_series(pdf["text"], pre)
             di_in = np.arange(start, start + len(pdf), dtype=np.int64)
-            terms: list[str] = []
-            tfs: list[int] = []
-            n_unique = np.empty(len(pdf), dtype=np.int64)
-            doc_lens = np.empty(len(pdf), dtype=np.int64)
-            for i, lst in enumerate(toks):
-                c = Counter(lst)
-                terms.extend(c.keys())
-                tfs.extend(c.values())
-                n_unique[i] = len(c)
-                doc_lens[i] = len(lst)
-            if not terms:
-                continue
-            doc_idx = np.repeat(di_in, n_unique)
-            doc_len = np.repeat(doc_lens, n_unique).astype(np.int32)
-            term_arr = np.asarray(terms, dtype=object)
-            hashes = hash_terms(term_arr)
-            first_mask = ~pd.Series(hashes).duplicated().to_numpy()
-            if len(seen) > _SEEN_TERMS_CAP:
-                seen.clear()
-            for j in np.flatnonzero(first_mask):
-                t = term_arr[j]
-                if t in seen:
-                    first_mask[j] = False
-                else:
-                    seen.add(t)
-            term_col = np.where(first_mask, term_arr, None)
-            yield pd.DataFrame(
-                {
-                    "doc_idx": doc_idx,
-                    "doc_len": doc_len,
-                    "term_hash": hashes,
-                    "term": term_col,
-                    "tf": np.asarray(tfs, dtype=np.int64),
-                }
-            )
+            out = count_terms_batch(pdf, di_in, pre, seen)
+            if out is not None:
+                yield out
         if pid is not None and local != cnts[pid]:
             msg = (
                 f"presorted layout mismatch: partition {pid} saw {local} rows, "
@@ -312,5 +276,5 @@ def presorted_local_tf(
 
     return narrow.mapInPandas(
         tok_tf_assign,
-        schema="doc_idx long, doc_len int, term_hash long, term string, tf long",
+        schema=TF_BATCH_SCHEMA,
     )

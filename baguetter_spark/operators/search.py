@@ -270,7 +270,10 @@ def score_queries(
                 .groupBy("query_id", "block_id")
                 .applyInPandas(local_topk, schema=topk_schema)
             )
-            # tiny (<= queries * probe_blocks * k rows); reused for θ + union
+            # tiny (<= queries * probe_blocks * k rows); reused for θ + union.
+            # No explicit unpersist: the caller consumes the returned plan
+            # later, and Spark's ContextCleaner unpersists the (bounded)
+            # block once the DataFrame goes out of driver scope.
             cand_a = cand_a.persist()
             wk = Window.partitionBy("query_id").orderBy(
                 F.desc("score"), F.col("doc_idx").asc()

@@ -67,7 +67,12 @@ def hadoop_write_text(spark: SparkSession, uri: str, text: str) -> None:
         out.close()
     if fs.exists(path):
         fs.delete(path, False)
-    fs.rename(tmp, path)
+    # Hadoop FileSystem.rename reports failure as False, not an exception
+    # (e.g. tmp swept, destination-parent race on an object store); a silent
+    # False here would return success with no manifest on disk
+    if not fs.rename(tmp, path):
+        msg = f"manifest rename failed: {uri}.tmp -> {uri}"
+        raise IOError(msg)
 
 
 def hadoop_read_text(spark: SparkSession, uri: str) -> str | None:
@@ -148,8 +153,21 @@ class IndexRepository:
         return bool(manifest) and manifest.get("status") == "SUCCESS"
 
     def list_indexes(self) -> list[str]:
-        """Names of completed (manifest = SUCCESS) indexes, sorted."""
-        return sorted(n for n in _list_dirs(self.spark, self.base_uri) if self.exists(n))
+        """Names of completed (manifest = SUCCESS) indexes, sorted.
+
+        One manifest read per directory is unavoidable (SUCCESS lives in
+        the manifest body), but on an object store each read is a
+        high-latency round-trip — so they run concurrently (py4j calls
+        are thread-safe), bounding catalog latency by the slowest read
+        instead of the sum."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = _list_dirs(self.spark, self.base_uri)
+        if not names:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+            flags = list(ex.map(self.exists, names))
+        return sorted(n for n, ok in zip(names, flags) if ok)
 
     def delete(self, name: str) -> bool:
         """Remove a named index; False when it was not present."""

@@ -201,12 +201,15 @@ def stream_conversation_sessions(
             state.get if state.exists else (0, 0, None, None, 0)
         )
         for pdf in pdfs:
-            pdf = pdf.sort_values(["turn_idx"])
-            for text, ts in zip(pdf["text"], pdf["ts"]):
+            for turn_idx, text, ts in zip(pdf["turn_idx"], pdf["text"], pdf["ts"]):
                 ln = len(text) if isinstance(text, str) else 0
                 n_turns += 1
                 n_chars += ln
-                fp = (fp * 1000003 + ln + 7) % mod
+                # commutative fold keyed by turn_idx: out-of-order arrivals
+                # split across micro-batches fingerprint identically to a
+                # single in-order batch (replay-deterministic under any
+                # trigger slicing — an order-sensitive rolling hash is not)
+                fp = (fp + (int(turn_idx) + 1) * 1000003 + ln + 7) % mod
                 us = int(pd.Timestamp(ts).value // 1000)
                 first_us = us if first_us is None else min(first_us, us)
                 last_us = us if last_us is None else max(last_us, us)

@@ -61,8 +61,21 @@ def run_leg(tree: str, cores: int, tpath: str, n_turns: int) -> dict | None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = dict(zip(sys.argv[1:-1], sys.argv[2:]))
+    # --flag VALUE pairs first; positionals are whatever is left over
+    # (a flag's value must not leak into the positional list)
+    flags: dict[str, str] = {}
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("--"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"flag {argv[i]} needs a value")
+            flags[argv[i]] = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     rev_b = args[0]
     n_pairs = int(args[1]) if len(args) > 1 else 4
     n_turns = int(args[2]) if len(args) > 2 else 1_000_000
@@ -91,7 +104,16 @@ def main() -> None:
     # this file exists, so our legs neither poison nor steal its windows
     with open(FOREGROUND_LOCK, "w") as lf:
         lf.write(f"ab_compare pid {os.getpid()}\n")
+    try:
+        _run_pairs(rev_b, tree_b, tpath, n_pairs, n_turns, cores, out_path)
+    finally:
+        # never leave the interlock behind on a crash/Ctrl-C — the campaign
+        # would skip every window forever
+        if os.path.exists(FOREGROUND_LOCK):
+            os.remove(FOREGROUND_LOCK)
 
+
+def _run_pairs(rev_b, tree_b, tpath, n_pairs, n_turns, cores, out_path) -> None:
     ratios = []
     with open(out_path, "a") as fh:
         header = {
@@ -130,8 +152,6 @@ def main() -> None:
         }
         fh.write(json.dumps(summary) + "\n")
         print(json.dumps(summary), flush=True)
-    if os.path.exists(FOREGROUND_LOCK):
-        os.remove(FOREGROUND_LOCK)
 
 
 if __name__ == "__main__":

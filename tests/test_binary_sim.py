@@ -236,6 +236,16 @@ def test_dense_radius_param_reference_semantics(spark):
     got, _ = l2_idx.search(list(q), top_k=25, radius=r)
     assert set(got) == {keys[i] for i in range(25) if d2[i] <= r}
 
+    # ip: usearch's ip kernel measures d = 1 - <a,b> (NOT -dot), so
+    # radius=r keeps dot >= 1 - r
+    ip_idx = DenseSparkIndex(spark, metric="ip").add_many(
+        keys, [list(v) for v in vecs]
+    )
+    dots = vecs @ q
+    r_ip = float(1.0 - np.median(dots))
+    got, _ = ip_idx.search(list(q), top_k=25, radius=r_ip)
+    assert set(got) == {keys[i] for i in range(25) if 1.0 - dots[i] <= r_ip}
+
     ham_idx = DenseSparkIndex(spark, metric="hamming").add_many(
         keys, [list(v) for v in vecs]
     )

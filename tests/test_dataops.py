@@ -254,6 +254,10 @@ def test_dedup_config_validation():
         DedupConfig(sh_bits=30, sh_bands=4)
     with pytest.raises(ValueError):
         DedupConfig(sh_bits=64, sh_bands=8)
+    with pytest.raises(ValueError, match="32-bit term hash"):
+        # bits 32+ of the mod-2^32 hash are constant zero: whole bands would
+        # be identical across all docs and the band join would go quadratic
+        DedupConfig(sh_bits=48, sh_bands=4)
 
 
 def test_script_id_plan_is_pure_map(spark):

@@ -194,6 +194,26 @@ def test_cached_embed_texts_memoizes(spark, tmp_path):
     assert np.linalg.norm(out2.loc["cc", "embedding"]) == 0.0  # the one real miss
 
 
+def test_cached_embed_null_text_memoizes(spark, tmp_path):
+    """NULL text embeds as '' (embed_texts contract) and must key as ''
+    too — a NULL cache key would miss every call and grow the cache."""
+    from baguetter_spark.operators.embedding import cached_embed_texts, hash_embedder
+
+    cache = str(tmp_path / "embcache_null")
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [None, "xx"]})
+    )
+    out1 = cached_embed_texts(df, hash_embedder(4), dim=4, cache_path=cache)
+    assert out1.count() == 2
+
+    def boom(texts):
+        raise RuntimeError("model re-invoked for cached rows")
+
+    out2 = cached_embed_texts(df, boom, dim=4, cache_path=cache)
+    assert out2.count() == 2
+    assert spark.read.parquet(cache).count() == 2  # no duplicate NULL rows
+
+
 def test_cached_embed_prompt_in_key(spark, tmp_path):
     """Prompted and unprompted encodings of the same text are different
     cache entries (the prompt participates in the reference's hashed args)."""

@@ -168,10 +168,10 @@ def test_stream_conversation_sessions_stateful(spark, tmp_path):
     assert a["n_chars"] == len("hello") + len("hi there")
     assert a["first_ts"] == t.to_pydatetime()
     assert a["last_ts"] == (t + m).to_pydatetime()
-    # order-sensitive fingerprint: len("hello")=5, len("hi there")=8
+    # commutative turn-keyed fingerprint: len("hello")=5, len("hi there")=8
     mod, fp = 2147483647, 0
-    for ln in (5, 8):
-        fp = (fp * 1000003 + ln + 7) % mod
+    for turn_idx, ln in ((0, 5), (1, 8)):
+        fp = (fp + (turn_idx + 1) * 1000003 + ln + 7) % mod
     assert a["len_fingerprint"] == fp
     assert rows["convB"]["n_turns"] == 1
 
