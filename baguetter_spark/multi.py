@@ -141,6 +141,13 @@ class SparkSearchEngine:
     for the whole query batch.  ``post_process_fn`` mirrors the reference's
     reranker hook (search_engine.py:54,178-180): a driver-side callable over
     the collected batch, or None.
+
+    ``reranker`` is the DISTRIBUTED version of that hook: a pair scorer
+    (``operators/rerank.PairScorer`` — e.g. ``cross_encoder_scorer(model)``
+    or ``token_overlap_scorer``) applied to the hydrated candidates inside
+    ``score_queries``, so reranking runs where the candidates live instead
+    of on the collected driver batch.  ``rerank_top_k`` optionally re-cuts
+    the list after rescoring (default: keep ``top_k``).
     """
 
     def __init__(
@@ -149,10 +156,14 @@ class SparkSearchEngine:
         *,
         name: str = "new-search-engine",
         post_process_fn: Callable | None = None,
+        reranker: Callable | None = None,
+        rerank_top_k: int | None = None,
     ) -> None:
         self.index = index
         self._name = name
         self.post_process_fn = post_process_fn
+        self.reranker = reranker
+        self.rerank_top_k = rerank_top_k
         self.store: DataFrame | None = None  # doc_id, value
 
     @property
@@ -200,10 +211,34 @@ class SparkSearchEngine:
 
     def score_queries(self, queries: DataFrame, *, top_k: int = 100) -> DataFrame:
         """-> (query_id, rank, doc_id, score, value): one hydration join for
-        the whole batch (the reference's per-query get_many, S8)."""
+        the whole batch (the reference's per-query get_many, S8).  With a
+        ``reranker``, scores/ranks are the reranker's (the retriever acts as
+        candidate generation, reference search_engine.py:178-180)."""
         res = self.index.score_queries(queries, top_k=top_k)
-        return res.join(self.store, "doc_id", "left").select(
+        hydrated = res.join(self.store, "doc_id", "left").select(
             "query_id", "rank", "doc_id", "score", "value"
+        )
+        if self.reranker is None:
+            return hydrated
+        from baguetter_spark.operators.rerank import rerank_topk
+
+        cands = hydrated.join(
+            queries.select("query_id", F.col("text").alias("query_text")),
+            "query_id",
+        ).withColumn("doc_text", F.coalesce(F.col("value"), F.lit("")))
+        out = rerank_topk(
+            cands,
+            self.reranker,
+            top_k=self.rerank_top_k or top_k,
+            id_col="doc_id",
+            keep_doc_text=True,
+        )
+        return out.select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.col("rerank_score").alias("score"),
+            "value",
         )
 
     def search_many(self, queries: list[str], *, top_k: int = 100):

@@ -110,6 +110,29 @@ def test_cross_encoder_slot_wraps_predict(spark):
     assert out["doc_id"].tolist() == [2, 1]  # 23 chars, then 15
 
 
+def test_search_engine_distributed_reranker(spark):
+    """SparkSearchEngine(reranker=...): the retriever becomes candidate
+    generation and the hydrated results carry the reranker's scores/ranks
+    (distributed counterpart of the reference's post_process_fn,
+    search_engine.py:178-180)."""
+    from baguetter_spark.engine import BM25SparkIndex
+    from baguetter_spark.multi import SparkSearchEngine
+    from baguetter_spark.operators.rerank import token_overlap_scorer
+
+    keys = ["a", "b", "c"]
+    vals = [
+        "sort merge join fast extra words here",  # overlap 4/4
+        "sort sort sort sort sort",               # overlap 1/4, high BM25 tf
+        "window scan",                            # overlap 0
+    ]
+    eng = SparkSearchEngine(
+        BM25SparkIndex(spark), reranker=token_overlap_scorer
+    ).add_many(keys, vals)
+    res = eng.search("sort merge join fast", top_k=3)
+    assert res["keys"][0] == "a" and res["scores"][0] == 1.0
+    assert res["values"][0] == vals[0]  # hydration survives the rerank
+
+
 # --------------------------------------------------------------- embedding
 
 
