@@ -379,6 +379,52 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sim_r FROM ranked WHERE r
 """
 
 
+def repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.repetition_stats: Gopher-style duplicate-word /
+    top-bigram fractions as pure higher-order array expressions (zero
+    shuffle) vs a DuckDB list-function oracle.  Single int/int divisions on
+    identical integers — bit-identical doubles on both engines."""
+    from baguetter_spark.gate import load_documents
+    from baguetter_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(load_documents(spark, sf_dir))
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n]+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i + 1])
+              ELSE [] END AS bg
+  FROM t
+),
+c AS (
+  SELECT doc_id, ws, bg,
+         COALESCE(list_max(list_transform(list_distinct(bg),
+                  x -> len(list_filter(bg, y -> y = x)))), 0) AS top_n
+  FROM b
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       CASE WHEN len(ws) > 0
+            THEN CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws)
+            ELSE 0.0 END AS dup_word_frac,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CAST(top_n AS BIGINT) AS top_bigram_n,
+       CASE WHEN len(bg) > 0 THEN CAST(top_n AS DOUBLE) / len(bg)
+            ELSE 0.0 END AS top_bigram_frac
+FROM c
+"""
+
+
 RERANK_QUERIES: list[tuple[str, str]] = [
     ("r1", "sort merge join fast"),
     ("r2", "stream batch window"),
@@ -463,6 +509,7 @@ def gate4_queries():
         "knn_l2sq_brute": knn_l2sq_query,
         "knn_i8_cosine": knn_i8_cosine_query,
         "rerank_token_overlap": rerank_token_overlap_query,
+        "repetition_stats": repetition_stats_query,
     }
 
 
@@ -477,4 +524,5 @@ def gate4_oracle_sql():
         "knn_l2sq_brute": _knn_l2sq_sql(),
         "knn_i8_cosine": _knn_i8_sql(),
         "rerank_token_overlap": _rerank_sql(),
+        "repetition_stats": REPETITION_STATS_SQL,
     }

@@ -54,6 +54,59 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, the
+    duplicate-fraction family of training-data filters), per document:
+
+    - ``dup_word_frac``  = (n_words - n_distinct_words) / n_words
+    - ``top_bigram_n``   = occurrences of the most frequent word bigram
+    - ``top_bigram_frac``= top_bigram_n / n_bigrams
+
+    High values flag boilerplate/spam/keyword-stuffed documents.  Repetition
+    is a PER-DOCUMENT property, so everything is higher-order array functions
+    on the split column — whole-stage codegen, zero shuffle, no Python: the
+    same plan shape at 500 docs and at 10^12.  (The per-distinct-bigram
+    count scan is O(unique x total) per doc — bounded by doc length, not by
+    corpus size.)"""
+    t = tokenize_simple(docs)
+    n_words = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    bigrams = F.when(
+        n_words >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n_words - 1),
+            F.slice("toks", 2, n_words - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = t.withColumn("bg", bigrams)
+    n_bigrams = F.size("bg")
+    top_n = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct("bg"),
+                lambda x: F.size(F.filter("bg", lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    return t.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        F.when(
+            n_words > 0, (n_words - n_distinct).cast("double") / n_words
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        n_bigrams.cast("long").alias("n_bigrams"),
+        top_n.cast("long").alias("top_bigram_n"),
+        F.when(n_bigrams > 0, top_n.cast("double") / n_bigrams)
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Gopher/C4-style heuristic quality flags + composite score.
 

@@ -397,3 +397,36 @@ def test_ivf_zero_norm_query_dropped(spark):
     res = ivf_cosine_topk(emb, [0, 99], k=3, n_centroids=4, n_probe=2).collect()
     qids = {r["query_id"] for r in res}
     assert 99 not in qids and 0 in qids
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals: hand-computed fractions, zero-
+    and one-word edge cases, and the single-division bit-contract."""
+    from baguetter_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "spam spam spam spam",          # 4 words, 1 distinct; top bigram "spam spam" x3
+                    "a b a b a",                     # 5 words, 2 distinct; "a b" x2 of 4 bigrams
+                    "one",                           # single word: no bigrams
+                    "",                              # empty
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_distinct_words"], r1["n_bigrams"]) == (4, 1, 3)
+    assert r1["dup_word_frac"] == (4 - 1) / 4
+    assert r1["top_bigram_n"] == 3 and r1["top_bigram_frac"] == 1.0
+    r2 = out[2]
+    assert r2["dup_word_frac"] == (5 - 2) / 5
+    assert (r2["top_bigram_n"], r2["n_bigrams"]) == (2, 4)
+    assert r2["top_bigram_frac"] == 2 / 4
+    r3 = out[3]
+    assert (r3["n_bigrams"], r3["top_bigram_n"], r3["top_bigram_frac"]) == (0, 0, 0.0)
+    r4 = out[4]
+    assert (r4["n_words"], r4["dup_word_frac"]) == (0, 0.0)
