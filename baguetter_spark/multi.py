@@ -215,7 +215,15 @@ class SparkSearchEngine:
         ``reranker``, scores/ranks are the reranker's (the retriever acts as
         candidate generation, reference search_engine.py:178-180)."""
         res = self.index.score_queries(queries, top_k=top_k)
-        hydrated = res.join(self.store, "doc_id", "left").select(
+        # Hydration at scale: res is tiny (queries x top_k) but the store is
+        # the corpus.  A direct left join would hash-shuffle the WHOLE store
+        # on doc_id; instead a broadcast semi-join prefilter scans the store
+        # once (no exchange) and only the <= queries x top_k surviving rows
+        # enter the outer join (AQE then broadcasts them).  The res subtree
+        # feeds both branches through the same reused exchange.
+        ids = res.select("doc_id").distinct()
+        store_hits = self.store.join(F.broadcast(ids), "doc_id", "left_semi")
+        hydrated = res.join(store_hits, "doc_id", "left").select(
             "query_id", "rank", "doc_id", "score", "value"
         )
         if self.reranker is None:
