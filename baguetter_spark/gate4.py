@@ -498,6 +498,56 @@ SELECT query_id, doc_id, rerank_score FROM ranked WHERE rn <= {RERANK_TOP_K}
 """
 
 
+def search_engine_hydrated_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SparkSearchEngine end-to-end (S8 + Q3/Q4 composed): BM25 retrieval,
+    store-hydration join (broadcast semi-join prefilter plan), per-turn text
+    byte-verified via md5 against the oracle's documents join.  Rank rule =
+    the gate's canonical 4-dp-rounded re-rank (gate.py:_rounded_topk)."""
+    from pyspark.sql import Window
+
+    from baguetter_spark.config import SparseIndexConfig
+    from baguetter_spark.engine import BM25SparkIndex
+    from baguetter_spark.gate import (
+        _ALL,
+        GATE_PREPROCESSOR,
+        TOP_K,
+        _gate_query_df,
+        _numeric_doc_id,
+        documents_as_transcripts,
+    )
+    from baguetter_spark.multi import SparkSearchEngine
+
+    cfg = SparseIndexConfig(dtype="float64", preprocessor=GATE_PREPROCESSOR)
+    eng = SparkSearchEngine(BM25SparkIndex(spark, cfg)).build(
+        documents_as_transcripts(spark, sf_dir)
+    )
+    res = eng.score_queries(_gate_query_df(spark), top_k=_ALL, parity=False)
+    r = res.select(
+        "query_id",
+        _numeric_doc_id(),
+        F.round(F.col("score"), 4).alias("score_r"),
+        F.md5(F.col("value")).alias("text_md5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        r.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "score_r", "text_md5")
+    )
+
+
+def _search_engine_hydrated_sql() -> str:
+    from baguetter_spark.gate import bm25_topk_sql
+
+    return f"""
+SELECT b.query_id, b.rank, b.doc_id, b.score_r, md5(d.text) AS text_md5
+FROM ({bm25_topk_sql("lucene")}) b
+JOIN documents d ON b.doc_id = d.doc_id
+"""
+
+
 def gate4_queries():
     return {
         "token_stats_wordpunct": wordpunct_stats_query,
@@ -510,6 +560,7 @@ def gate4_queries():
         "knn_i8_cosine": knn_i8_cosine_query,
         "rerank_token_overlap": rerank_token_overlap_query,
         "repetition_stats": repetition_stats_query,
+        "search_engine_hydrated": search_engine_hydrated_query,
     }
 
 
@@ -525,4 +576,5 @@ def gate4_oracle_sql():
         "knn_i8_cosine": _knn_i8_sql(),
         "rerank_token_overlap": _rerank_sql(),
         "repetition_stats": REPETITION_STATS_SQL,
+        "search_engine_hydrated": _search_engine_hydrated_sql(),
     }

@@ -209,12 +209,15 @@ class SparkSearchEngine:
             self.store = self.store.where(~F.col("doc_id").isin(list(gone)))
         return self
 
-    def score_queries(self, queries: DataFrame, *, top_k: int = 100) -> DataFrame:
+    def score_queries(
+        self, queries: DataFrame, *, top_k: int = 100, **search_kwargs
+    ) -> DataFrame:
         """-> (query_id, rank, doc_id, score, value): one hydration join for
         the whole batch (the reference's per-query get_many, S8).  With a
         ``reranker``, scores/ranks are the reranker's (the retriever acts as
-        candidate generation, reference search_engine.py:178-180)."""
-        res = self.index.score_queries(queries, top_k=top_k)
+        candidate generation, reference search_engine.py:178-180).  Extra
+        kwargs (parity/pruned/...) pass through to the index."""
+        res = self.index.score_queries(queries, top_k=top_k, **search_kwargs)
         # Hydration at scale: res is tiny (queries x top_k) but the store is
         # the corpus.  A direct left join would hash-shuffle the WHOLE store
         # on doc_id; instead a broadcast semi-join prefilter scans the store
