@@ -393,7 +393,7 @@ def repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 REPETITION_STATS_SQL = """
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '[ \t\n]+'),
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      w -> w <> '') AS ws
   FROM documents
 ),
@@ -466,13 +466,13 @@ def _rerank_sql() -> str:
 WITH q(query_id, qtext) AS (VALUES {vals}),
 qtok AS (
   SELECT DISTINCT query_id, tok FROM (
-    SELECT query_id, unnest(string_split_regex(lower(qtext), '[ \t\n]+')) AS tok FROM q
+    SELECT query_id, unnest(regexp_split_to_array(lower(qtext), '\\s+')) AS tok FROM q
   ) WHERE tok <> ''
 ),
 qn AS (SELECT query_id, count(*) AS nq FROM qtok GROUP BY query_id),
 dtok AS (
   SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n]+')) AS tok
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
     FROM documents
   ) WHERE tok <> ''
 ),

@@ -146,7 +146,7 @@ class SparkSearchEngine:
     (``operators/rerank.PairScorer`` — e.g. ``cross_encoder_scorer(model)``
     or ``token_overlap_scorer``) applied to the hydrated candidates inside
     ``score_queries``, so reranking runs where the candidates live instead
-    of on the collected driver batch.  ``rerank_top_k`` optionally re-cuts
+    of on the collected driver batch.  ``rerank_top_k`` optionally cuts
     the list after rescoring (default: keep ``top_k``).
     """
 
@@ -163,6 +163,9 @@ class SparkSearchEngine:
         self._name = name
         self.post_process_fn = post_process_fn
         self.reranker = reranker
+        if rerank_top_k is not None and rerank_top_k <= 0:
+            msg = f"rerank_top_k must be positive, got {rerank_top_k}"
+            raise ValueError(msg)
         self.rerank_top_k = rerank_top_k
         self.store: DataFrame | None = None  # doc_id, value
 
@@ -216,17 +219,24 @@ class SparkSearchEngine:
         the whole batch (the reference's per-query get_many, S8).  With a
         ``reranker``, scores/ranks are the reranker's (the retriever acts as
         candidate generation, reference search_engine.py:178-180).  Extra
-        kwargs (parity/pruned/...) pass through to the index."""
+        kwargs pass through to the index and are index-specific (e.g.
+        parity/pruned for BM25SparkIndex; MultiSparkIndex takes none)."""
         res = self.index.score_queries(queries, top_k=top_k, **search_kwargs)
         # Hydration at scale: res is tiny (queries x top_k) but the store is
         # the corpus.  A direct left join would hash-shuffle the WHOLE store
         # on doc_id; instead a broadcast semi-join prefilter scans the store
         # once (no exchange) and only the <= queries x top_k surviving rows
         # enter the outer join (AQE then broadcasts them).  The res subtree
-        # feeds both branches through the same reused exchange.
-        ids = res.select("doc_id").distinct()
-        store_hits = self.store.join(F.broadcast(ids), "doc_id", "left_semi")
-        hydrated = res.join(store_hits, "doc_id", "left").select(
+        # feeds both branches through the same reused exchange.  Guarded:
+        # an unbounded top_k (score-everything calls) would force-broadcast
+        # an id set proportional to the corpus — there the ordinary shuffle
+        # join is the correct plan.
+        if top_k <= 100_000:
+            ids = res.select("doc_id").distinct()
+            store_side = self.store.join(F.broadcast(ids), "doc_id", "left_semi")
+        else:
+            store_side = self.store
+        hydrated = res.join(store_side, "doc_id", "left").select(
             "query_id", "rank", "doc_id", "score", "value"
         )
         if self.reranker is None:
@@ -237,12 +247,15 @@ class SparkSearchEngine:
             queries.select("query_id", F.col("text").alias("query_text")),
             "query_id",
         ).withColumn("doc_text", F.coalesce(F.col("value"), F.lit("")))
+        # value survives rerank_topk on its own (score_pairs keeps every
+        # input column); keep_doc_text=False drops the derived doc_text /
+        # query_text copies BEFORE the top-k shuffle — text shuffles once
         out = rerank_topk(
             cands,
             self.reranker,
-            top_k=self.rerank_top_k or top_k,
+            top_k=top_k if self.rerank_top_k is None else self.rerank_top_k,
             id_col="doc_id",
-            keep_doc_text=True,
+            keep_doc_text=False,
         )
         return out.select(
             "query_id",
