@@ -37,7 +37,12 @@ class TextPreprocessorConfig:
     Snowball specs), "indonesian", "hindi", "turkish", "arabic",
     "irish", "nepali", "lithuanian", "basque", "greek", "tamil"
     (published light/confix algorithms; see each module's docstring) —
-    plus "porter", "lancaster", "cistem", or None.  ``stopwords`` supports "english" (vendored nltk list), a set, or
+    plus the non-Snowball algorithms "porter", "lancaster", "cistem",
+    "isri" (Taghva et al. 2005 root extraction), "arlstem" / "arlstem2"
+    (Abainia et al. light stemmer), or None — every reference registry
+    entry except "krovetz", which needs its dictionary-backed C library
+    (see functions/isri.py and functions/arlstem.py provenance notes).
+    ``stopwords`` supports "english" (vendored nltk list), a set, or
     None.  ``do_diacritics_normalization`` (engine extension, default off —
     the reference ships ``normalize_diacritics`` but never wires it into its
     pipeline) ASCII-folds diacritics after special-chars normalization.

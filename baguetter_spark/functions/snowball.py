@@ -390,11 +390,24 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.snowball_ta import stem as stem_ta
 
         return stem_ta
+    if n == "isri":
+        from baguetter_spark.functions.isri import stem as stem_isri
+
+        return stem_isri
+    if n == "arlstem":
+        from baguetter_spark.functions.arlstem import stem as stem_arlstem
+
+        return stem_arlstem
+    if n == "arlstem2":
+        from baguetter_spark.functions.arlstem import stem2 as stem_arlstem2
+
+        return stem_arlstem2
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
         f"norwegian, danish, romanian, finnish, hungarian, indonesian, "
         f"hindi, turkish, arabic, catalan, nepali, irish, lithuanian, "
-        f"basque, greek, tamil, porter, lancaster, cistem)."
+        f"basque, greek, tamil, porter, lancaster, cistem, isri, arlstem, "
+        f"arlstem2; 'krovetz' needs its dictionary-backed C library)."
     )
     raise ValueError(msg)

@@ -1178,7 +1178,8 @@ ALL_REGISTRY_STEMMERS = [
     "italian", "dutch", "swedish", "norwegian", "danish", "romanian",
     "finnish", "hungarian", "indonesian", "hindi", "turkish", "arabic",
     "catalan", "nepali", "irish", "lithuanian", "basque", "greek",
-    "tamil", "porter", "lancaster", "cistem",
+    "tamil", "porter", "lancaster", "cistem", "isri", "arlstem",
+    "arlstem2",
 ]
 
 
@@ -1212,3 +1213,73 @@ def test_all_registry_stemmers_total_on_adversarial_tokens():
                 assert isinstance(out, str), (name, tok)
 
         fuzz()
+
+
+# ISRI root extraction: hand-traced through the paper's tables as vendored
+# in functions/isri.py (affix strip floors, then the length-4/5/6 pattern
+# matchers).  Unlike the light stemmers this one aims at the ROOT.
+ISRI_GOLDENS = [
+    ("الكتاب", "كتب"),        # ال strip -> length-4 فعال pattern
+    ("والمكتبات", "كتب"),     # وال strip, ات strip, مفعل pattern
+    ("مدرسون", "درس"),        # ون strip, مفعل pattern
+    ("مصانع", "صنع"),         # length-5 مفاعل pattern
+    ("استخرج", "خرج"),        # length-6 استفعل pattern
+    ("مستشفى", "شفى"),        # length-6 مستفعل pattern
+    ("المعلمون", "علم"),      # article + plural + مفعل
+    ("كتابهم", "كتب"),        # possessive هم (s2), فعال pattern
+    ("كَتَبَ", "كتب"),          # harakat stripped, length-3 returned as-is
+    ("hello", "hello"),       # non-Arabic passthrough
+    ("", ""),
+]
+
+
+def test_isri_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("isri")
+    for w, e in ISRI_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+# ARLSTem light stemming: hand-traced through the vendored stage flow
+# (functions/arlstem.py — norm, waw, article-or-verb decision, pronoun /
+# plural / feminine suffixes).  stem2 adds the bare-particle prefix pass.
+ARLSTEM_GOLDENS = [
+    ("الكتاب", "كتاب"),       # article only; no root extraction
+    ("والمكتبة", "مكتب"),     # waw, article, feminine ة
+    ("المعلمون", "معلم"),     # article + sound plural ون
+    ("كتابها", "كتاب"),       # possessive ها
+    ("مدرسة", "مدرس"),        # feminine ة
+    ("بالقلم", "قلم"),        # بال article
+    ("وقال", "قال"),          # conjunction و
+    ("سيذهب", "ذهب"),         # verb path: future سي prefix
+    ("ذهبت", "ذهب"),          # verb path: perfective ت suffix
+    ("يكتب", "كتب"),          # verb path: imperfective ي prefix
+    ("مستشفى", "مستشف"),      # ى -> ي fold, pronoun-shaped ي strip
+    ("أحمد", "حمد"),          # hamza fold; ا taken as verb prefix
+    ("hello", "hello"),       # non-Arabic passthrough
+    ("", ""),
+]
+
+
+def test_arlstem_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("arlstem")
+    for w, e in ARLSTEM_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_arlstem2_particle_prefix():
+    """v2 strips a bare particle before the definite article where v1's
+    fused inventory cannot reach it (فلل = fa+li+l-), leaves ambiguous
+    single leading letters alone (كتاب starts with the particle letter ك),
+    and otherwise matches v1."""
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st1 = get_stemmer("arlstem")
+    st2 = get_stemmer("arlstem2")
+    assert st1("فللكتاب") == "فللكتاب"  # v1: no affix in inventory matches
+    assert st2("فللكتاب") == "كتاب"     # v2: particle ف + article لل
+    for w, e in ARLSTEM_GOLDENS:
+        assert st2(w) == st1(w), (w, st2(w), st1(w))
