@@ -116,6 +116,30 @@ def ann_ivf_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pretrained-centroid cells for the deterministic IVF row: 8 corpus vectors
+# (disjoint from EMB_QUERY_IDS) become the quantizer, cell j = j-th id asc
+IVF_PRETRAINED_CENTROID_IDS = [5, 6, 7, 8, 9, 10, 11, 12]
+
+
+def ann_ivf_pretrained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with INJECTED (pretrained) centroids — the production quantizer
+    re-use shape — probing 3 of 8 cells.  Unlike the k-means rows this
+    path is bit-deterministic (assignment and probe rank round(cosine,6)
+    with cell-id tie-breaks), so the approximate-probe result itself is
+    hash-checked against the DuckDB oracle, not just the exhaustive
+    degenerate case."""
+    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(
+        _emb_double(spark, sf_dir),
+        EMB_QUERY_IDS,
+        k=5,
+        n_probe=3,
+        centroid_ids=IVF_PRETRAINED_CENTROID_IDS,
+    )
+
+
 def merge_equals_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segments [doc_id < split] + [doc_id >= split] merged ==
     full-corpus build (digest compared against the full-corpus oracle)."""
@@ -405,12 +429,67 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 
 
+def _ivf_pretrained_sql() -> str:
+    """DuckDB mirror of ``ann_ivf_pretrained_query``: same centroid cells
+    (cell = rank of centroid vec_id asc), same round(cosine,6) ranking with
+    cell-id tie-breaks for assignment and probe, same exact-cosine top-k
+    inside the probed cells (KNN_BRUTE_SQL float discipline)."""
+    from baguetter_spark.gate import EMB_QUERY_IDS
+
+    cent_ids = ", ".join(str(i) for i in IVF_PRETRAINED_CENTROID_IDS)
+    qids = ", ".join(str(i) for i in EMB_QUERY_IDS)
+    cos = (
+        "round(list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM emb WHERE vec_id IN ({cent_ids})
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='c.cv')} DESC, c.cell ASC) AS rn
+    FROM emb e CROSS JOIN cents c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id IN ({qids})),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qv', b='c.cv')} DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 3
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id,
+         {cos.format(a='e.v', b='q.qv')} AS cos_r
+  FROM qprobe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  JOIN emb e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM ranked WHERE rank <= 5
+"""
+
+
 def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_pruned": pruned_topk_query,
         "bm25_topk_blockmax": blockmax_topk_query,
         "ann_ivf_cosine": ann_ivf_query,
         "ann_ivf_exhaustive": ann_ivf_exhaustive_query,
+        "ann_ivf_pretrained": ann_ivf_pretrained_query,
         "merge_equals_rebuild": merge_equals_rebuild_query,
         "resumable_build_digest": resumable_build_digest_query,
         "repository_roundtrip_digest": repository_roundtrip_digest_query,
@@ -428,6 +507,7 @@ def gate3_oracle_sql() -> dict[str, str]:
         "bm25_topk_blockmax": bm25_topk_sql("lucene"),
         # exhaustive probing degenerates to the flat scan -> brute oracle
         "ann_ivf_exhaustive": KNN_BRUTE_SQL,
+        "ann_ivf_pretrained": _ivf_pretrained_sql(),
         "merge_equals_rebuild": POSTINGS_DIGEST_SQL,
         "resumable_build_digest": POSTINGS_DIGEST_SQL,
         "repository_roundtrip_digest": POSTINGS_DIGEST_SQL,

@@ -288,6 +288,7 @@ def ivf_cosine_topk(
     max_iter: int = 5,
     seed: int = 42,
     train_fraction: float | None = None,
+    centroid_ids: list[int] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means centroids partition the
     corpus into ``n_centroids`` cells; each query probes only its ``n_probe``
@@ -307,10 +308,18 @@ def ivf_cosine_topk(
     recall@k >= 0.9 on the clustered fixture); results are approximate and
     k-means-seeded, NOT bit-deterministic like the integer-plane LSH —
     keep ann_lsh_topk for oracle-exact pipelines.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``centroid_ids`` injects PRETRAINED centroids instead of running
+    k-means: the vectors of those corpus ids become the cells (cell j =
+    j-th id in ascending order; ``n_centroids``/``seed``/``max_iter``/
+    ``train_fraction`` are ignored).  This is the production shape for
+    re-used quantizers — at 10^12 vectors centroids are trained ONCE on a
+    sample and re-applied to every new partition/segment, so assignment
+    must not depend on a fresh clustering run.  It is also fully
+    deterministic: assignment and probe selection rank round(cosine, 6)
+    with ties broken by cell id, so the whole query is reproducible in
+    ANSI SQL (gate row ``ann_ivf_pretrained`` hash-checks it vs DuckDB).
+    """
     import numpy as np
 
     emb = embeddings.select(
@@ -325,36 +334,97 @@ def ivf_cosine_topk(
             F.transform("vec", lambda x: x / F.col("vnorm")).alias("uvec"),
         )
     )
-    with_feat = normed.withColumn(
-        "features", array_to_vector(F.col("uvec").cast("array<double>"))
-    )
-    train = (
-        with_feat.sample(fraction=train_fraction, seed=seed)
-        if train_fraction is not None
-        else with_feat
-    )
-    model = KMeans(
-        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="features"
-    ).fit(train.select("features"))
-    assigned = model.transform(with_feat).select(
-        "vec_id", "vec", F.col("prediction").alias("cell")
-    )
-
-    # per-query probe cells: centroids are tiny (n_centroids x dim) and the
-    # query set is small by contract -> numpy on the driver
-    centers = np.vstack([c for c in model.clusterCenters()])  # already unit-ish
-    qrows = {
-        r["vec_id"]: np.asarray(r["uvec"], dtype=np.float64)
-        for r in normed.where(F.col("vec_id").isin(query_ids)).collect()
-    }
-    probe_rows = []
-    for qid in query_ids:
-        if qid not in qrows:
-            continue  # zero-norm / missing query vector: unrankable
-        sims = centers @ qrows[qid]
-        for cell in np.argsort(-sims)[:n_probe]:
-            probe_rows.append((int(qid), int(cell)))
     spark = embeddings.sparkSession
+    if centroid_ids is not None:
+        # ---- pretrained/injected centroids: no clustering, deterministic
+        from pyspark.sql.window import Window
+
+        cells = sorted({int(i) for i in centroid_ids})
+        if len(cells) != len(centroid_ids):
+            msg = "centroid_ids must be distinct"
+            raise ValueError(msg)
+        crows = {
+            r["vec_id"]: np.asarray(r["vec"], dtype=np.float64)
+            for r in emb.where(F.col("vec_id").isin(cells)).collect()
+        }
+        missing = [i for i in cells if i not in crows]
+        if missing:
+            msg = f"centroid_ids not found in corpus: {missing}"
+            raise ValueError(msg)
+        cent_vecs = [crows[i] for i in cells]
+        cent_norms = [float(np.linalg.norm(cv)) for cv in cent_vecs]
+        zero = [cells[j] for j, n in enumerate(cent_norms) if not n > 0]
+        if zero:
+            msg = f"zero-norm centroid_ids: {zero}"
+            raise ValueError(msg)
+        cent_df = spark.createDataFrame(
+            [(j, [float(x) for x in cent_vecs[j]]) for j in range(len(cells))],
+            schema="cell int, cvec array<double>",
+        )
+        # broadcast constant table (n_centroids rows); one map-side pass
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cell").asc()
+        )
+        assigned = (
+            normed.select("vec_id", "vec")
+            .crossJoin(F.broadcast(cent_df))
+            .withColumn("csim", F.round(_cosine(F.col("vec"), F.col("cvec")), 6))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "vec", "cell")
+        )
+        # probe selection mirrors assignment: round(cosine, 6), ties -> cell
+        qraw = {
+            r["vec_id"]: np.asarray(r["vec"], dtype=np.float64)
+            for r in normed.where(F.col("vec_id").isin(query_ids))
+            .select("vec_id", "vec")
+            .collect()
+        }
+        probe_rows = []
+        for qid in query_ids:
+            qv = qraw.get(qid)
+            if qv is None:
+                continue  # zero-norm / missing query vector: unrankable
+            qn = float(np.linalg.norm(qv))
+            sims = np.round(
+                [float(qv @ cv) / (qn * cn) for cv, cn in zip(cent_vecs, cent_norms)],
+                6,
+            )
+            order = sorted(range(len(cells)), key=lambda j: (-sims[j], j))
+            probe_rows.extend((int(qid), int(j)) for j in order[:n_probe])
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        with_feat = normed.withColumn(
+            "features", array_to_vector(F.col("uvec").cast("array<double>"))
+        )
+        train = (
+            with_feat.sample(fraction=train_fraction, seed=seed)
+            if train_fraction is not None
+            else with_feat
+        )
+        model = KMeans(
+            k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="features"
+        ).fit(train.select("features"))
+        assigned = model.transform(with_feat).select(
+            "vec_id", "vec", F.col("prediction").alias("cell")
+        )
+
+        # per-query probe cells: centroids are tiny (n_centroids x dim) and
+        # the query set is small by contract -> numpy on the driver
+        centers = np.vstack([c for c in model.clusterCenters()])  # unit-ish
+        qrows = {
+            r["vec_id"]: np.asarray(r["uvec"], dtype=np.float64)
+            for r in normed.where(F.col("vec_id").isin(query_ids)).collect()
+        }
+        probe_rows = []
+        for qid in query_ids:
+            if qid not in qrows:
+                continue  # zero-norm / missing query vector: unrankable
+            sims = centers @ qrows[qid]
+            for cell in np.argsort(-sims)[:n_probe]:
+                probe_rows.append((int(qid), int(cell)))
     probe = spark.createDataFrame(probe_rows, schema="query_id long, cell int")
 
     qvecs = emb.where(F.col("vec_id").isin(query_ids)).select(

@@ -383,6 +383,47 @@ def test_ivf_exhaustive_equals_brute(spark):
     assert ivf == brute
 
 
+def test_ivf_pretrained_centroids(spark):
+    """Injected-quantizer IVF (gate row ann_ivf_pretrained): deterministic
+    across runs, exact-equal to brute force when every cell is probed, and
+    loud on bad centroid ids."""
+    import numpy as np
+
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(29)
+    rows = [(i, rng.normal(size=12).tolist()) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 7, 41]
+    cents = [10, 20, 30, 40, 50, 60]
+
+    def run(n_probe):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cos_r"])
+            for r in ivf_cosine_topk(
+                emb, qids, k=6, n_probe=n_probe, centroid_ids=cents
+            ).collect()
+        )
+
+    # probe=all == brute force (partition + same math, like the k-means row)
+    brute = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_r"])
+        for r in cosine_topk(emb, qids, k=6).collect()
+    )
+    assert run(len(cents)) == brute
+    # approximate probe is bit-deterministic run to run (no clustering seed)
+    assert run(2) == run(2)
+
+    with pytest.raises(ValueError, match="distinct"):
+        ivf_cosine_topk(emb, qids, k=3, centroid_ids=[10, 10])
+    with pytest.raises(ValueError, match="not found"):
+        ivf_cosine_topk(emb, qids, k=3, centroid_ids=[10, 9999])
+    zrows = rows + [(999, [0.0] * 12)]
+    zemb = spark.createDataFrame(zrows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="zero-norm"):
+        ivf_cosine_topk(zemb, qids, k=3, centroid_ids=[10, 999])
+
+
 def test_ivf_zero_norm_query_dropped(spark):
     """A zero-norm query vector is unrankable: it probes no cells and simply
     returns no rows (no ANSI divide error, no NaN ranks)."""
