@@ -27,6 +27,8 @@ def __getattr__(name: str):
         "MultiSparkIndex": ("baguetter_spark.multi", "MultiSparkIndex"),
         "SparkSearchEngine": ("baguetter_spark.multi", "SparkSearchEngine"),
         "IndexRepository": ("baguetter_spark.repository", "IndexRepository"),
+        "merge_indexes": ("baguetter_spark.merge", "merge_indexes"),
+        "remove_docs": ("baguetter_spark.merge", "remove_docs"),
     }
     if name in lazy:
         import importlib
@@ -49,4 +51,6 @@ __all__ = [
     "SparseIndexConfig",
     "TextPreprocessorConfig",
     "__version__",
+    "merge_indexes",
+    "remove_docs",
 ]

@@ -426,10 +426,20 @@ WITH {_SQL_DOCS}
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf FROM tf
 """
 
-POSTINGS_DIGEST_SQL = f"""
-WITH {_SQL_DOCS},
+def postings_digest_sql(doc_where: str = "") -> str:
+    """Postings-digest oracle, optionally over a filtered documents table
+    (``doc_where`` = full WHERE clause) — the filtered variant backs the
+    remove_equals_rebuild row: doc_idx re-ranks over the kept docs exactly
+    as remove_docs compacts survivor ranks."""
+    docs_cte = (
+        _SQL_DOCS.replace("FROM documents", f"FROM documents {doc_where}")
+        if doc_where
+        else _SQL_DOCS
+    )
+    return f"""
+WITH {docs_cte},
 didx AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS doc_idx
-         FROM documents),
+         FROM documents {doc_where}),
 plist AS (
   SELECT tf.term, didx.doc_idx
   FROM tf JOIN didx USING (doc_id)
@@ -441,6 +451,9 @@ SELECT term,
        array_to_string(list_slice(list(doc_idx ORDER BY doc_idx), 1, 8), ',') AS head_docs
 FROM plist GROUP BY term
 """
+
+
+POSTINGS_DIGEST_SQL = postings_digest_sql()
 
 
 # --- training-data operators: engine wrappers --------------------------------

@@ -155,6 +155,31 @@ def merge_equals_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_digest_of(merged)
 
 
+# remove_equals_rebuild: docs whose id ends in this digit get removed; the
+# oracle rebuilds the digest over `WHERE doc_id NOT LIKE '%7'`
+REMOVE_SUFFIX = "7"
+
+
+def remove_equals_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_docs (posting-block filter + stats/vocab/impacts recompute,
+    NO re-tokenization) must leave an index digest-identical to rebuilding
+    on the filtered corpus."""
+    from baguetter_spark.merge import remove_docs
+    from baguetter_spark.operators.indexer import build_index
+
+    cfg = _gate_cfg()
+    full = build_index(spark, documents_as_transcripts(spark, sf_dir), cfg)
+    # doc_map keys are "conv:turn" with turn always 0 for the documents
+    # table, so the suffix digit sits before ":0"
+    keys = [
+        r["doc_id"]
+        for r in full.doc_map.where(
+            F.col("doc_id").endswith(f"{REMOVE_SUFFIX}:0")
+        ).collect()
+    ]
+    return postings_digest_of(remove_docs(spark, full, keys))
+
+
 def resumable_build_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint-resumable staged build + save/load round-trip: run the
     staged build, re-run it (must SKIP every stage via SUCCESS manifests),
@@ -483,6 +508,16 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos_r FROM ranked WHERE r
 """
 
 
+def _remove_digest_sql() -> str:
+    """Digest over the corpus minus docs whose id ends in REMOVE_SUFFIX —
+    the rebuild side of remove_equals_rebuild."""
+    from baguetter_spark.gate import postings_digest_sql
+
+    return postings_digest_sql(
+        f"WHERE CAST(doc_id AS VARCHAR) NOT LIKE '%{REMOVE_SUFFIX}'"
+    )
+
+
 def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_pruned": pruned_topk_query,
@@ -491,6 +526,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": ann_ivf_exhaustive_query,
         "ann_ivf_pretrained": ann_ivf_pretrained_query,
         "merge_equals_rebuild": merge_equals_rebuild_query,
+        "remove_equals_rebuild": remove_equals_rebuild_query,
         "resumable_build_digest": resumable_build_digest_query,
         "repository_roundtrip_digest": repository_roundtrip_digest_query,
         "streaming_ingest_digest": streaming_ingest_digest_query,
@@ -509,6 +545,7 @@ def gate3_oracle_sql() -> dict[str, str]:
         "ann_ivf_exhaustive": KNN_BRUTE_SQL,
         "ann_ivf_pretrained": _ivf_pretrained_sql(),
         "merge_equals_rebuild": POSTINGS_DIGEST_SQL,
+        "remove_equals_rebuild": _remove_digest_sql(),
         "resumable_build_digest": POSTINGS_DIGEST_SQL,
         "repository_roundtrip_digest": POSTINGS_DIGEST_SQL,
         "streaming_ingest_digest": STREAMING_INGEST_SQL,

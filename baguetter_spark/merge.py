@@ -1,10 +1,13 @@
-"""Distributed segment merge: merge(build(A), build(B)) == build(A ∪ B).
+"""Distributed segment maintenance: merge and remove without re-tokenizing.
 
 The reference rebuilds the whole index on every add/remove
-(`baguetter/indices/sparse/base.py:244-256`).  At 10^12-turn scale we keep
-that SEMANTIC (global df/avg_doc_len/N and sorted-rank vocabulary are
-recomputed over the union) while skipping the expensive part: segments store
-raw term frequencies in their posting blocks, so a merge
+(`baguetter/indices/sparse/base.py:244-256,372-398`).  At 10^12-turn scale
+we keep that SEMANTIC (global df/avg_doc_len/N and sorted-rank vocabulary
+are recomputed over the union / the survivors) while skipping the expensive
+part: segments store raw term frequencies in their posting blocks, so both
+operations work on decoded (term, doc_idx, tf) rows.
+
+merge_indexes:
 
 1. offsets each segment's doc ids by the cumulative doc count of the
    segments before it (segment order == insertion order),
@@ -13,9 +16,14 @@ raw term frequencies in their posting blocks, so a merge
    vocabulary (term ids change — they are sorted ranks over the union),
 4. recomputes impacts and reassembles blocks.
 
-The result is bit-identical to a from-scratch build of the concatenated
-corpus (differential-tested), because impacts are pure functions of
-(tf, doc_len, df, N, avg_doc_len).
+remove_docs: filters the decoded flats + doc map to the surviving docs,
+compacts doc_idx (rank among survivors — insertion order is preserved, so
+this equals the rebuild's assignment), and runs the same tail; terms whose
+last posting died leave the vocabulary and every term id re-ranks.
+
+Both results are bit-identical to a from-scratch build of the
+concatenated / filtered corpus (differential-tested), because impacts are
+pure functions of (tf, doc_len, df, N, avg_doc_len).
 """
 
 from __future__ import annotations
@@ -99,17 +107,27 @@ def merge_indexes(
     doc_map = doc_maps[0]
     for dm in doc_maps[1:]:
         doc_map = doc_map.unionByName(dm)
-    doc_map = doc_map.persist()
 
     flat_tf = flats[0]
     for fl in flats[1:]:
         flat_tf = flat_tf.unionByName(fl)
 
+    return _reindex_flat(doc_map, flat_tf, config)
+
+
+def _reindex_flat(
+    doc_map: DataFrame, flat_tf: DataFrame, config: SparseIndexConfig
+) -> BM25Index:
+    """Shared maintenance tail: (doc_map, flat (term, doc_idx, tf)) ->
+    full index under freshly recomputed global stats — the exact stages a
+    from-scratch build runs after tokenization."""
+    doc_map = doc_map.persist()
     n_docs, avg_doc_len = corpus_stats(doc_map)
 
     # re-derive the 8-byte term keys from the decoded strings (segments may
     # predate hashed vocab columns); string witnesses stay fully populated
-    # here — merge decode is already string-bound, not the hot build path
+    # here — maintenance decode is already string-bound, not the hot build
+    # path
     tf = (
         flat_tf.join(doc_map.select("doc_idx", "doc_len"), "doc_idx")
         .select("doc_idx", "doc_len", "term", "tf")
@@ -129,3 +147,64 @@ def merge_indexes(
         total_postings=total_postings,
         config=config,
     )
+
+
+def remove_docs(
+    spark: SparkSession,
+    index: BM25Index,
+    keys: list[str],
+    config: SparseIndexConfig | None = None,
+) -> BM25Index:
+    """Remove documents by key WITHOUT re-tokenizing the surviving corpus:
+    bit-identical to rebuilding on the filtered corpus (the reference's
+    remove/remove_many semantics, base.py:372-398 — pop + full
+    `_update_index`), but the only work is a posting-block filter pass plus
+    the stats/vocab/impacts recompute the rebuild would run anyway.
+
+    Unknown keys are ignored (the reference pops with ``pop(key, None)``);
+    removing every document raises (an empty index has no stats — build
+    fresh instead).  doc_idx compacts to the survivor rank, which equals
+    the rebuild's assignment because insertion order is preserved; terms
+    whose last posting died leave the vocabulary, so term ids re-rank.
+
+    Scale shape: the removed id set rides a broadcast (the list-of-keys
+    API bounds it driver-side by construction; ~8 bytes per removed doc),
+    survivors never shuffle for the filter itself — the only shuffles are
+    the same vocab/posting-assembly shuffles a rebuild would pay, minus
+    tokenization and the raw-text scan entirely.
+    """
+    config = config or index.config
+    removed_rows = (
+        index.doc_map.where(F.col("doc_id").isin(list(keys)))
+        .select("doc_idx")
+        .collect()
+    )
+    if not removed_rows:
+        return index
+    removed_idx = np.array(sorted(r["doc_idx"] for r in removed_rows), dtype=np.int64)
+    if removed_idx.size >= index.n_docs:
+        msg = "remove_docs would remove every document; build a fresh index instead"
+        raise ValueError(msg)
+
+    bc = spark.sparkContext.broadcast(removed_idx)
+
+    @F.pandas_udf("long")
+    def survivor_rank(idx: pd.Series) -> pd.Series:
+        rem = bc.value
+        old = idx.to_numpy()
+        return pd.Series(old - np.searchsorted(rem, old, side="right"))
+
+    removed_df = F.broadcast(
+        spark.createDataFrame([(int(i),) for i in removed_idx], "doc_idx long")
+    )
+    doc_map = (
+        index.doc_map.join(removed_df, "doc_idx", "left_anti")
+        .withColumn("doc_idx", survivor_rank("doc_idx"))
+    )
+    flat_tf = (
+        flat_postings(index)
+        .join(removed_df, "doc_idx", "left_anti")
+        .withColumn("doc_idx", survivor_rank("doc_idx"))
+        .select("term", "doc_idx", "tf")
+    )
+    return _reindex_flat(doc_map, flat_tf, config)

@@ -145,3 +145,55 @@ def test_merge_equals_rebuild(spark, tmp_path):
     assert _results_map(score_queries(merged, q, top_k=8)) == _results_map(
         score_queries(rebuilt, q, top_k=8)
     )
+
+
+def test_remove_equals_rebuild(spark):
+    """remove_docs == build on the filtered corpus: same stats, identical
+    sorted-rank vocabulary (term ids re-rank), bit-identical search."""
+    from baguetter_spark.merge import remove_docs
+
+    cfg = _cfg()
+    corpus = gen_transcripts(30, 4, seed=33, vocab_size=60)
+    # plant a term that ONLY occurs in docs we will remove: it must leave
+    # the vocabulary, shifting every later term id
+    victims = sorted(corpus["conv_id"].unique())[::5]
+    mask = corpus["conv_id"].isin(victims)
+    corpus.loc[mask, "text"] = corpus.loc[mask, "text"] + " onlyinremoved"
+    full = build_index(spark, spark.createDataFrame(corpus), cfg)
+    # doc_id = "conv_id:turn_idx" (indexer.py doc_map construction); convs
+    # have variable turn counts, so enumerate victim keys from the doc_map
+    dm_keys = {r["doc_id"] for r in full.doc_map.collect()}
+    keys = [k for k in dm_keys if k.split(":")[0] in set(victims)]
+    assert keys, "victim keys must resolve against the doc_map"
+
+    removed = remove_docs(spark, full, keys)
+    kept = corpus[~corpus["conv_id"].isin(victims)].reset_index(drop=True)
+    rebuilt = build_index(spark, spark.createDataFrame(kept), cfg)
+
+    assert removed.n_docs == rebuilt.n_docs
+    assert removed.avg_doc_len == rebuilt.avg_doc_len
+    assert removed.total_postings == rebuilt.total_postings
+
+    vm = {r["term"]: (r["term_id"], r["df"]) for r in removed.vocab.collect()}
+    vr = {r["term"]: (r["term_id"], r["df"]) for r in rebuilt.vocab.collect()}
+    assert vm == vr
+    assert "onlyinremoved" not in vm
+
+    dmap_removed = sorted(
+        (r["doc_idx"], r["doc_id"], r["doc_len"]) for r in removed.doc_map.collect()
+    )
+    dmap_rebuilt = sorted(
+        (r["doc_idx"], r["doc_id"], r["doc_len"]) for r in rebuilt.doc_map.collect()
+    )
+    assert dmap_removed == dmap_rebuilt
+
+    q = _queries(spark)
+    assert _results_map(score_queries(removed, q, top_k=8)) == _results_map(
+        score_queries(rebuilt, q, top_k=8)
+    )
+
+    # unknown keys are a no-op (reference pop(key, None) semantics)
+    assert remove_docs(spark, full, ["nosuchkey"]) is full
+    # removing everything is loud
+    with pytest.raises(ValueError, match="every document"):
+        remove_docs(spark, full, sorted(dm_keys))
