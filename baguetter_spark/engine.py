@@ -93,10 +93,26 @@ class BM25SparkIndex:
         return self.remove_many([key])
 
     def remove_many(self, keys: list[str]) -> BM25SparkIndex:
-        if self._corpus is None:
+        if self._corpus is not None:
+            self._corpus = self._corpus[~self._corpus["conv_id"].isin(set(keys))]
+            return self._rebuild()
+        if self.index is None:
             return self
-        self._corpus = self._corpus[~self._corpus["conv_id"].isin(set(keys))]
-        return self._rebuild()
+        # Loaded / DataFrame-built index: there is no driver corpus to
+        # rebuild from, so filter the postings directly (merge.remove_docs
+        # == rebuild, differential-tested).  Previously this branch was a
+        # silent no-op.
+        self.index = self._remove_from_index(keys)
+        return self
+
+    def _remove_from_index(self, keys: list[str]):
+        from baguetter_spark.merge import remove_docs
+
+        # list-API doc ids carry a synthetic ":0" turn; a DataFrame-built
+        # corpus uses real "conv:turn" ids.  Accept both forms — unknown
+        # keys are ignored by remove_docs (reference pop(key, None)).
+        probe = list(keys) + [f"{k}:0" for k in keys]
+        return remove_docs(self.spark, self.index, probe, self.config)
 
     def _rebuild(self) -> BM25SparkIndex:
         sdf = self.spark.createDataFrame(self._corpus)
@@ -217,6 +233,14 @@ class BMXSparkIndex(BM25SparkIndex):
         sdf = self.spark.createDataFrame(self._corpus)
         self.index = build_bmx_index(self.spark, sdf, self.config)
         return self
+
+    def _remove_from_index(self, keys: list[str]):
+        msg = (
+            "BMX indexes store entropy-folded postings; corpus-less removal "
+            "is not supported — rebuild from the source transcripts "
+            "(build()) instead"
+        )
+        raise NotImplementedError(msg)
 
     def score_queries(
         self,

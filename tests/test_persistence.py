@@ -197,3 +197,25 @@ def test_remove_equals_rebuild(spark):
     # removing everything is loud
     with pytest.raises(ValueError, match="every document"):
         remove_docs(spark, full, sorted(dm_keys))
+
+
+def test_engine_remove_without_corpus(spark):
+    """remove_many on a DataFrame-built engine (no driver corpus) filters
+    the postings via merge.remove_docs instead of silently no-opping; the
+    BMX facade raises loudly (entropy-folded postings can't be filtered)."""
+    from baguetter_spark.engine import BM25SparkIndex, BMXSparkIndex
+
+    corpus = gen_transcripts(20, 3, seed=41, vocab_size=50)
+    eng = BM25SparkIndex(spark, _cfg()).build(spark.createDataFrame(corpus))
+    n0 = eng.index.n_docs
+    victim = eng.index.doc_map.limit(1).collect()[0]["doc_id"]
+    eng.remove_many([victim])
+    assert eng.index.n_docs == n0 - 1
+    assert eng.index.doc_map.where(f"doc_id = '{victim}'").count() == 0
+    # unknown key: no-op
+    eng.remove_many(["nosuchkey"])
+    assert eng.index.n_docs == n0 - 1
+
+    bmx = BMXSparkIndex(spark, _cfg()).build(spark.createDataFrame(corpus))
+    with pytest.raises(NotImplementedError, match="BMX"):
+        bmx.remove_many(["anything"])
