@@ -78,6 +78,45 @@ class BM25SparkIndex:
         )
         return self._rebuild()
 
+    def add_transcripts(self, transcripts: DataFrame) -> BM25SparkIndex:
+        """DataFrame-scale incremental add with the list API's replace
+        semantics (reference add_many = corpus-dict update + full rebuild,
+        base.py:324-356): build a segment over the new transcripts only,
+        drop any existing docs whose keys collide (they are being
+        replaced), and merge — no re-tokenization of the existing corpus.
+
+        Documented divergence shared with this engine's list-API add_many:
+        replaced docs take NEW doc_idx positions (insertion order = append)
+        rather than keeping their original slot, so exact-tie ranking
+        against a replaced doc may break differently than the reference's
+        in-place dict update.  Scores and result sets are unaffected.
+        """
+        from baguetter_spark.merge import merge_indexes, remove_docs, truncate_lineage
+
+        seg = build_index(self.spark, transcripts, self.config)
+        if self.index is None:
+            self.index = seg
+            return self
+        overlap = [
+            r["doc_id"]
+            for r in seg.doc_map.select("doc_id")
+            .join(self.index.doc_map.select("doc_id"), "doc_id", "left_semi")
+            .collect()
+        ]
+        if len(overlap) >= self.index.n_docs:  # batch replaces everything
+            self.index = seg
+            return self
+        base = (
+            remove_docs(self.spark, self.index, overlap) if overlap else self.index
+        )
+        # checkpoint: without cutting lineage here, a loop of incremental
+        # adds stacks decode+merge subtrees until the driver OOMs on the
+        # plan itself (see merge.truncate_lineage)
+        self.index = truncate_lineage(
+            merge_indexes(self.spark, [base, seg], self.config)
+        )
+        return self
+
     def tokenize(self, text: str) -> list[str]:
         """Run the index's preprocessing pipeline on one string (reference
         base.py:293-323 `tokenize`) — driver-side, same code the UDF runs."""
@@ -106,13 +145,16 @@ class BM25SparkIndex:
         return self
 
     def _remove_from_index(self, keys: list[str]):
-        from baguetter_spark.merge import remove_docs
+        from baguetter_spark.merge import remove_docs, truncate_lineage
 
         # list-API doc ids carry a synthetic ":0" turn; a DataFrame-built
         # corpus uses real "conv:turn" ids.  Accept both forms — unknown
         # keys are ignored by remove_docs (reference pop(key, None)).
         probe = list(keys) + [f"{k}:0" for k in keys]
-        return remove_docs(self.spark, self.index, probe, self.config)
+        removed = remove_docs(self.spark, self.index, probe, self.config)
+        if removed is self.index:  # nothing matched — no new plan to cut
+            return removed
+        return truncate_lineage(removed)
 
     def _rebuild(self) -> BM25SparkIndex:
         sdf = self.spark.createDataFrame(self._corpus)
@@ -239,6 +281,13 @@ class BMXSparkIndex(BM25SparkIndex):
             "BMX indexes store entropy-folded postings; corpus-less removal "
             "is not supported — rebuild from the source transcripts "
             "(build()) instead"
+        )
+        raise NotImplementedError(msg)
+
+    def add_transcripts(self, transcripts: DataFrame) -> BMXSparkIndex:
+        msg = (
+            "BMX segment merge is not supported (entropy terms are global); "
+            "rebuild from the full transcripts (build()) instead"
         )
         raise NotImplementedError(msg)
 

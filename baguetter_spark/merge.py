@@ -46,6 +46,35 @@ from baguetter_spark.operators.indexer import (
 )
 
 
+def truncate_lineage(index: BM25Index) -> BM25Index:
+    """Cut the logical plan under the three index tables (eager
+    ``localCheckpoint``) after a maintenance op.
+
+    merge_indexes / remove_docs build their outputs ON TOP of the previous
+    index's plans; a loop of incremental adds therefore stacks
+    decode+union+join subtrees geometrically until even rendering the
+    explain string OOMs the driver (observed at ~3 chained maintenance
+    ops on a toy corpus).  ``persist()`` caches data but keeps the plan;
+    checkpointing replaces the plan with the materialized blocks, so each
+    maintenance round starts from a flat scan — the same reason iterative
+    algorithms (GraphX, ALS) checkpoint every N steps.
+
+    ``localCheckpoint`` stores blocks on executors (lost if an executor
+    dies); for durable production batches prefer ``io.save_index`` /
+    ``load_index`` between rounds — a parquet checkpoint with the same
+    lineage-cutting effect plus fault tolerance.
+    """
+    return BM25Index(
+        doc_map=index.doc_map.localCheckpoint(eager=True),
+        vocab=index.vocab.localCheckpoint(eager=True),
+        postings=index.postings.localCheckpoint(eager=True),
+        n_docs=index.n_docs,
+        avg_doc_len=index.avg_doc_len,
+        total_postings=index.total_postings,
+        config=index.config,
+    )
+
+
 def flat_postings(index: BM25Index) -> DataFrame:
     """Decode posting blocks back to (term, doc_idx, tf) rows (term STRINGS,
     since term ids are segment-local sorted ranks)."""

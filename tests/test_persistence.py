@@ -219,3 +219,52 @@ def test_engine_remove_without_corpus(spark):
     bmx = BMXSparkIndex(spark, _cfg()).build(spark.createDataFrame(corpus))
     with pytest.raises(NotImplementedError, match="BMX"):
         bmx.remove_many(["anything"])
+
+
+def test_engine_add_transcripts_incremental(spark):
+    """add_transcripts == rebuild on the concatenated corpus (new keys) and
+    replace-on-collision (overlapping keys), without re-tokenizing the
+    existing corpus."""
+    from baguetter_spark.engine import BM25SparkIndex, BMXSparkIndex
+
+    cfg = _cfg()
+    a = gen_transcripts(20, 3, seed=51, vocab_size=50)
+    b = gen_transcripts(12, 3, seed=52, vocab_size=50)
+    b["conv_id"] = "z" + b["conv_id"]  # disjoint, sorts after a
+
+    eng = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(a))
+    eng.add_transcripts(spark.createDataFrame(b))
+    rebuilt = build_index(
+        spark, spark.createDataFrame(pd.concat([a, b], ignore_index=True)), cfg
+    )
+    assert eng.index.n_docs == rebuilt.n_docs
+    assert eng.index.avg_doc_len == rebuilt.avg_doc_len
+    vm = {r["term"]: (r["term_id"], r["df"]) for r in eng.index.vocab.collect()}
+    vr = {r["term"]: (r["term_id"], r["df"]) for r in rebuilt.vocab.collect()}
+    assert vm == vr
+    q = _queries(spark)
+    assert _results_map(score_queries(eng.index, q, top_k=8)) == _results_map(
+        score_queries(rebuilt, q, top_k=8)
+    )
+
+    # replace semantics: re-adding existing conv ids with new text swaps
+    # the docs instead of duplicating them
+    n_before = eng.index.n_docs
+    b2 = b.copy()
+    b2["text"] = b2["text"] + " replacedmarker"
+    eng.add_transcripts(spark.createDataFrame(b2))
+    assert eng.index.n_docs == n_before
+    vm2 = {r["term"] for r in eng.index.vocab.collect()}
+    assert "replacedmarker" in vm2
+
+    # batch that replaces everything degenerates to the fresh segment
+    eng2 = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(a))
+    a2 = a.copy()
+    a2["text"] = a2["text"] + " totalswap"
+    eng2.add_transcripts(spark.createDataFrame(a2))
+    assert eng2.index.n_docs == build_index(spark, spark.createDataFrame(a2), cfg).n_docs
+    assert "totalswap" in {r["term"] for r in eng2.index.vocab.collect()}
+
+    bmx = BMXSparkIndex(spark, cfg).build(spark.createDataFrame(a))
+    with pytest.raises(NotImplementedError, match="BMX"):
+        bmx.add_transcripts(spark.createDataFrame(b))
