@@ -155,6 +155,31 @@ def merge_equals_rebuild_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_digest_of(merged)
 
 
+def incremental_add_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level incremental ingestion: ``build`` on the first slice of
+    the corpus, then TWO chained ``add_transcripts`` batches (each builds a
+    segment over only the new docs and merges — no re-tokenization, with
+    lineage truncated between rounds) must leave an index digest-identical
+    to the full-corpus build oracle.  Chaining two adds is the point: it
+    exercises the maintenance-over-maintenance plan that used to blow up
+    driver memory before ``merge.truncate_lineage``.  The replace-on-
+    collision path is pytest-verified instead (replaced docs re-append, so
+    their doc_idx — and hence the digest — intentionally differs from a
+    plain rebuild)."""
+    from baguetter_spark.engine import BM25SparkIndex
+
+    cfg = _gate_cfg()
+    tr = documents_as_transcripts(spark, sf_dir)
+    # lpad'ed doc_id boundaries: three ordered slices at any sf
+    cut1, cut2 = "000000000150", "000000000300"
+    eng = BM25SparkIndex(spark, cfg).build(tr.where(F.col("conv_id") < cut1))
+    eng.add_transcripts(
+        tr.where((F.col("conv_id") >= cut1) & (F.col("conv_id") < cut2))
+    )
+    eng.add_transcripts(tr.where(F.col("conv_id") >= cut2))
+    return postings_digest_of(eng.index)
+
+
 # remove_equals_rebuild: docs whose id ends in this digit get removed; the
 # oracle rebuilds the digest over `WHERE doc_id NOT LIKE '%7'`
 REMOVE_SUFFIX = "7"
@@ -526,6 +551,7 @@ def gate3_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exhaustive": ann_ivf_exhaustive_query,
         "ann_ivf_pretrained": ann_ivf_pretrained_query,
         "merge_equals_rebuild": merge_equals_rebuild_query,
+        "incremental_add_digest": incremental_add_digest_query,
         "remove_equals_rebuild": remove_equals_rebuild_query,
         "resumable_build_digest": resumable_build_digest_query,
         "repository_roundtrip_digest": repository_roundtrip_digest_query,
@@ -545,6 +571,7 @@ def gate3_oracle_sql() -> dict[str, str]:
         "ann_ivf_exhaustive": KNN_BRUTE_SQL,
         "ann_ivf_pretrained": _ivf_pretrained_sql(),
         "merge_equals_rebuild": POSTINGS_DIGEST_SQL,
+        "incremental_add_digest": POSTINGS_DIGEST_SQL,
         "remove_equals_rebuild": _remove_digest_sql(),
         "resumable_build_digest": POSTINGS_DIGEST_SQL,
         "repository_roundtrip_digest": POSTINGS_DIGEST_SQL,
