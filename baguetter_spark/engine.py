@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from baguetter_spark.config import SparseIndexConfig
 from baguetter_spark.fixtures import transcripts_from_corpus
@@ -51,7 +52,12 @@ class BM25SparkIndex:
     # ------------------------------------------------------------------ build
     def build(self, transcripts: DataFrame) -> BM25SparkIndex:
         """DataFrame-native build (the production entry point)."""
+        from baguetter_spark.merge import release_index
+
+        old = self.index
         self.index = build_index(self.spark, transcripts, self.config)
+        self._corpus = None
+        release_index(old)  # superseded frames are CacheManager-pinned
         return self
 
     def add_many(self, keys: list[str], values: list[str]) -> BM25SparkIndex:
@@ -68,6 +74,13 @@ class BM25SparkIndex:
             msg = "Keys must be unique."
             raise ValueError(msg)
         new = transcripts_from_corpus(keys, values)
+        if self._corpus is None and self.index is not None:
+            # DataFrame-built or loaded index: there is no driver corpus to
+            # rebuild from — rebuilding from `new` alone would silently
+            # REPLACE the whole index.  Route through the distributed
+            # incremental path instead (same replace-on-collision
+            # semantics); doc ids are exposed verbatim (``key:0``).
+            return self.add_transcripts(self.spark.createDataFrame(new))
         self._corpus = (
             new
             if self._corpus is None
@@ -78,12 +91,28 @@ class BM25SparkIndex:
         )
         return self._rebuild()
 
-    def add_transcripts(self, transcripts: DataFrame) -> BM25SparkIndex:
+    # Above this many colliding doc ids, add_transcripts switches from the
+    # driver-broadcast remove_docs to the fully distributed remove_docs_df
+    # (nothing about the removed set ever touches the driver).
+    DRIVER_KEY_BOUND = 100_000
+
+    def add_transcripts(
+        self, transcripts: DataFrame, *, driver_key_bound: int | None = None
+    ) -> BM25SparkIndex:
         """DataFrame-scale incremental add with the list API's replace
         semantics (reference add_many = corpus-dict update + full rebuild,
         base.py:324-356): build a segment over the new transcripts only,
         drop any existing docs whose keys collide (they are being
         replaced), and merge — no re-tokenization of the existing corpus.
+
+        The collision set stays DISTRIBUTED: its size is a count(), and
+        when it exceeds ``driver_key_bound`` (default DRIVER_KEY_BOUND) the
+        removal runs through merge.remove_docs_df, so re-ingesting a
+        corrected 10^8-doc partition never materializes 10^8 keys on the
+        driver.  Calling this switches the engine out of list-API mode:
+        the driver corpus (if any) is dropped, doc ids are exposed
+        verbatim from then on (``synthetic_turn_suffix`` -> False), and
+        the superseded index's cached frames are released.
 
         Documented divergence shared with this engine's list-API add_many:
         replaced docs take NEW doc_idx positions (insertion order = append)
@@ -91,30 +120,49 @@ class BM25SparkIndex:
         against a replaced doc may break differently than the reference's
         in-place dict update.  Scores and result sets are unaffected.
         """
-        from baguetter_spark.merge import merge_indexes, remove_docs, truncate_lineage
+        from baguetter_spark.merge import (
+            merge_indexes,
+            release_index,
+            remove_docs,
+            remove_docs_df,
+            truncate_lineage,
+        )
 
+        bound = self.DRIVER_KEY_BOUND if driver_key_bound is None else driver_key_bound
         seg = build_index(self.spark, transcripts, self.config)
+        # the index no longer derives from the driver corpus: leave
+        # list-API mode (see docstring)
+        self._corpus = None
         if self.index is None:
             self.index = seg
             return self
-        overlap = [
-            r["doc_id"]
-            for r in seg.doc_map.select("doc_id")
-            .join(self.index.doc_map.select("doc_id"), "doc_id", "left_semi")
-            .collect()
-        ]
-        if len(overlap) >= self.index.n_docs:  # batch replaces everything
-            self.index = seg
-            return self
-        base = (
-            remove_docs(self.spark, self.index, overlap) if overlap else self.index
+        old = self.index
+        overlap_keys = seg.doc_map.select("doc_id").join(
+            old.doc_map.select("doc_id"), "doc_id", "left_semi"
         )
+        n_overlap = overlap_keys.count()
+        if n_overlap >= old.n_docs:  # batch replaces everything
+            self.index = seg
+            release_index(old)
+            return self
+        if n_overlap == 0:
+            base = old
+        elif n_overlap <= bound:
+            keys = [r["doc_id"] for r in overlap_keys.collect()]
+            base = remove_docs(self.spark, old, keys)
+        else:
+            base = remove_docs_df(self.spark, old, overlap_keys)
         # checkpoint: without cutting lineage here, a loop of incremental
         # adds stacks decode+merge subtrees until the driver OOMs on the
         # plan itself (see merge.truncate_lineage)
         self.index = truncate_lineage(
             merge_indexes(self.spark, [base, seg], self.config)
         )
+        # the checkpoint has materialized: every superseded frame is garbage
+        if base is not old:
+            release_index(base)
+        release_index(seg)
+        release_index(old)
         return self
 
     def tokenize(self, text: str) -> list[str]:
@@ -145,20 +193,50 @@ class BM25SparkIndex:
         return self
 
     def _remove_from_index(self, keys: list[str]):
-        from baguetter_spark.merge import remove_docs, truncate_lineage
+        from baguetter_spark.merge import release_index, remove_docs, truncate_lineage
 
-        # list-API doc ids carry a synthetic ":0" turn; a DataFrame-built
-        # corpus uses real "conv:turn" ids.  Accept both forms — unknown
-        # keys are ignored by remove_docs (reference pop(key, None)).
-        probe = list(keys) + [f"{k}:0" for k in keys]
+        # Per key: an EXACT doc_id match wins; a key with no exact match is
+        # treated as a conv_id and removes every turn of that conversation.
+        # This covers both id dialects — a loaded list-API index stores user
+        # key 'k' as 'k:0' (one synthetic turn), and a DataFrame-built
+        # corpus uses real 'conv:turn' ids, where a bare conv_id means the
+        # whole conversation.  (Probing 'k' AND 'k:0' unconditionally, the
+        # previous rule, silently removed only turn 0 of a multi-turn
+        # conversation and removed BOTH real docs 'k' and 'k:0' on a
+        # request for 'k'.)  Unknown keys are ignored (reference
+        # pop(key, None)).  Driver traffic is bounded by len(keys) plus the
+        # turns of the requested conversations.
+        dm = self.index.doc_map
+        exact = {
+            r["doc_id"]
+            for r in dm.where(F.col("doc_id").isin(list(keys)))
+            .select("doc_id")
+            .collect()
+        }
+        probe = sorted(exact)
+        miss = [k for k in keys if k not in exact]
+        if miss:
+            conv = F.regexp_extract(F.col("doc_id"), r"^(.*):\d+$", 1)
+            probe += [
+                r["doc_id"]
+                for r in dm.where(conv.isin(miss)).select("doc_id").collect()
+            ]
+        if not probe:
+            return self.index
         removed = remove_docs(self.spark, self.index, probe, self.config)
         if removed is self.index:  # nothing matched — no new plan to cut
             return removed
-        return truncate_lineage(removed)
+        out = truncate_lineage(removed)
+        release_index(self.index)  # superseded by `out`
+        return out
 
     def _rebuild(self) -> BM25SparkIndex:
+        from baguetter_spark.merge import release_index
+
         sdf = self.spark.createDataFrame(self._corpus)
+        old = self.index
         self.index = build_index(self.spark, sdf, self.config)
+        release_index(old)  # rebuilt from the driver corpus — old is garbage
         return self
 
     # ----------------------------------------------------------------- search

@@ -431,11 +431,16 @@ def postings_digest_sql(doc_where: str = "") -> str:
     (``doc_where`` = full WHERE clause) — the filtered variant backs the
     remove_equals_rebuild row: doc_idx re-ranks over the kept docs exactly
     as remove_docs compacts survivor ranks."""
-    docs_cte = (
-        _SQL_DOCS.replace("FROM documents", f"FROM documents {doc_where}")
-        if doc_where
-        else _SQL_DOCS
-    )
+    if doc_where:
+        # textual splice: valid only while _SQL_DOCS scans `documents`
+        # exactly once and carries no WHERE of its own — assert both so a
+        # future edit to the CTE fails loudly instead of computing a digest
+        # over the wrong doc set
+        assert _SQL_DOCS.count("FROM documents") == 1, "_SQL_DOCS changed shape"
+        assert "WHERE" not in _SQL_DOCS.upper(), "_SQL_DOCS already filters"
+        docs_cte = _SQL_DOCS.replace("FROM documents", f"FROM documents {doc_where}")
+    else:
+        docs_cte = _SQL_DOCS
     return f"""
 WITH {docs_cte},
 didx AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS doc_idx

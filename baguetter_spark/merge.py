@@ -46,6 +46,26 @@ from baguetter_spark.operators.indexer import (
 )
 
 
+def release_index(index: BM25Index | None) -> None:
+    """Unpersist an index's cached frames (the three public tables plus the
+    internal ``caches`` pins collected by build_index/_reindex_flat).
+
+    DataFrame ``persist()`` entries live in Spark's CacheManager, which is
+    keyed by logical plan and holds strong references — unlike RDD blocks
+    they are NEVER garbage-collected.  Any code that REPLACES an index
+    (chained add_transcripts / remove rounds) must release the superseded
+    one, or executor storage grows by a full index copy per round until
+    eviction thrash.  Only call once nothing downstream will re-read the
+    frames (i.e. after the successor's checkpoint has materialized)."""
+    if index is None:
+        return
+    for df in (index.doc_map, index.vocab, index.postings, *index.caches):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # pragma: no cover - already released / plan gone
+            pass
+
+
 def truncate_lineage(index: BM25Index) -> BM25Index:
     """Cut the logical plan under the three index tables (eager
     ``localCheckpoint``) after a maintenance op.
@@ -64,7 +84,7 @@ def truncate_lineage(index: BM25Index) -> BM25Index:
     ``load_index`` between rounds — a parquet checkpoint with the same
     lineage-cutting effect plus fault tolerance.
     """
-    return BM25Index(
+    out = BM25Index(
         doc_map=index.doc_map.localCheckpoint(eager=True),
         vocab=index.vocab.localCheckpoint(eager=True),
         postings=index.postings.localCheckpoint(eager=True),
@@ -72,7 +92,13 @@ def truncate_lineage(index: BM25Index) -> BM25Index:
         avg_doc_len=index.avg_doc_len,
         total_postings=index.total_postings,
         config=index.config,
+        # checkpointed RDD blocks are ContextCleaner-managed (freed when the
+        # plan is GC'd), so the new index carries no explicit pins
     )
+    # the eager checkpoints above have materialized: the input's pinned
+    # frames (CacheManager entries, never GC'd) are now garbage — free them
+    release_index(index)
+    return out
 
 
 def flat_postings(index: BM25Index) -> DataFrame:
@@ -162,7 +188,8 @@ def _reindex_flat(
         .select("doc_idx", "doc_len", "term", "tf")
         .withColumn("term_hash", term_hash_udf()(F.col("term")))
     )
-    vocab = build_vocab(tf, n_docs, avg_doc_len, config).cache()
+    pins: list = []
+    vocab = build_vocab(tf, n_docs, avg_doc_len, config, cleanup=pins).cache()
     flat = impacts_flat(tf, vocab, n_docs, avg_doc_len, config)
     postings = assemble_posting_blocks(flat, config).persist()
     total_postings = int(vocab.agg(F.sum("df").alias("s")).collect()[0]["s"] or 0)
@@ -175,6 +202,7 @@ def _reindex_flat(
         avg_doc_len=avg_doc_len,
         total_postings=total_postings,
         config=config,
+        caches=tuple(pins),
     )
 
 
@@ -237,3 +265,67 @@ def remove_docs(
         .select("term", "doc_idx", "tf")
     )
     return _reindex_flat(doc_map, flat_tf, config)
+
+
+def remove_docs_df(
+    spark: SparkSession,
+    index: BM25Index,
+    keys: DataFrame,
+    config: SparseIndexConfig | None = None,
+) -> BM25Index:
+    """``remove_docs`` for UNBOUNDED key sets: ``keys`` is a one-column
+    DataFrame of doc ids and the removed set never touches the driver.
+
+    Survivor doc_idx compaction (rank among survivors by old doc_idx — the
+    rebuild's assignment) runs through the same two-pass zip_with_index the
+    from-scratch build uses instead of the driver-broadcast searchsorted,
+    and the decoded flats remap through a doc_idx equi-join (one extra
+    shuffle of the flat — the price of not holding the removed set
+    driver-side).  Digest-equal to ``remove_docs`` / a filtered rebuild
+    (differential-tested in tests/test_persistence.py).
+
+    Prefer ``remove_docs`` below ~10^5 removed keys (its filter pass is
+    map-side only); ``engine.add_transcripts`` picks automatically.
+
+    The result is returned LINEAGE-TRUNCATED (eager localCheckpoint).  The
+    raw plan nests two zip_with_index subtrees plus the posting decode
+    under whatever the caller builds next; composed with merge_indexes +
+    the final three-table checkpoint, Catalyst re-analysis of that nesting
+    alone OOMs a 4 GiB driver at 500 docs (measured — the cost is plan
+    DEPTH, not data).  Cutting here keeps every downstream plan shallow
+    regardless of how the caller composes maintenance ops.
+    """
+    import dataclasses
+
+    from baguetter_spark.operators.zipindex import zip_with_index
+
+    config = config or index.config
+    keys_df = keys.select(F.col(keys.columns[0]).alias("doc_id")).distinct()
+    survivors = index.doc_map.join(keys_df, "doc_id", "left_anti")
+
+    pins: list = []
+    mapping, mstats = zip_with_index(
+        survivors, ["doc_idx"], "new_doc_idx", extra_sums={}, cleanup=pins
+    )
+    doc_map = mapping.select(
+        F.col("new_doc_idx").alias("doc_idx"), "doc_id", "doc_len"
+    )
+    # survivor count rides the zipindex counts pass — no extra job
+    n_surv = int(mstats["count"])
+    if n_surv == index.n_docs:  # nothing matched (reference pop(key, None))
+        for df in pins:
+            df.unpersist(blocking=False)
+        return index
+    if n_surv == 0:
+        msg = "remove_docs_df would remove every document; build a fresh index instead"
+        raise ValueError(msg)
+
+    flat_tf = (
+        flat_postings(index)
+        .join(mapping.select("doc_idx", "new_doc_idx"), "doc_idx")
+        .select("term", F.col("new_doc_idx").alias("doc_idx"), "tf")
+    )
+    out = _reindex_flat(doc_map, flat_tf, config)
+    # truncate_lineage materializes the checkpoints, then releases the
+    # superseded pins (out.caches + the zipindex two-pass state)
+    return truncate_lineage(dataclasses.replace(out, caches=out.caches + tuple(pins)))

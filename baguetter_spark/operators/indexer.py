@@ -191,6 +191,11 @@ class BM25Index:
     avg_doc_len: float
     total_postings: int
     config: SparseIndexConfig
+    # Internal pinned frames (tf aggregate, zipindex two-pass state) that the
+    # three public tables were computed FROM.  DataFrame persist entries are
+    # never GC-cleaned, so maintenance code that replaces an index must free
+    # them explicitly (merge.release_index) or leak one set per build.
+    caches: tuple = ()
 
 
 def docs_from_transcripts(transcripts: DataFrame) -> DataFrame:
@@ -482,17 +487,24 @@ def _check_collisions(n: int) -> None:
 
 
 def build_vocab(
-    tf: DataFrame, n_docs: int, avg_doc_len: float, config: SparseIndexConfig
+    tf: DataFrame,
+    n_docs: int,
+    avg_doc_len: float,
+    config: SparseIndexConfig,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Sorted-rank term ids (B2) + df (B4) + idf/nonoccurrence (B6/B10).
 
-    Input tf carries (term_hash, term?) — see local_term_frequencies."""
+    Input tf carries (term_hash, term?) — see local_term_frequencies.
+    ``cleanup`` collects the internal pinned frames (see zip_with_index)."""
     # persist the (small) term aggregate: zip_with_index evaluates its input
     # for range sampling + counts + assignment — without this, the heavy
     # per-(doc,term) frame would aggregate three times
     term_stats = hashed_term_stats(tf).persist()
+    if cleanup is not None:
+        cleanup.append(term_stats)
     vocab_base, vstats = zip_with_index(
-        term_stats, ["term"], "term_id", extra_sums={"coll": "coll"}
+        term_stats, ["term"], "term_id", extra_sums={"coll": "coll"}, cleanup=cleanup
     )
     _check_collisions(vstats["coll"])
     return vocab_scores(
@@ -589,6 +601,7 @@ def build_index(
     matters for scaling-efficiency at small-N (BENCH/BASELINE.md).
     """
     config = config or SparseIndexConfig()
+    pins: list = []  # internal pinned frames -> BM25Index.caches
 
     layout = None
     if assume_sorted:
@@ -627,7 +640,7 @@ def build_index(
             "conv_id", "turn_idx", "doc_id"
         )
         keys_full, kstats = zip_with_index(
-            keys_frame, ["conv_id", "turn_idx"], "doc_idx", extra_sums={}
+            keys_frame, ["conv_id", "turn_idx"], "doc_idx", extra_sums={}, cleanup=pins
         )
         n_docs = kstats["count"]
         keys = keys_full.select("doc_idx", "doc_id")
@@ -650,6 +663,7 @@ def build_index(
     # the term-hash collision witness sums to hash_collisions — all ride
     # the zipindex counts job instead of separate driver actions
     term_stats = hashed_term_stats(tf).persist()
+    pins += [tf, term_stats]
     vocab_base, vstats = zip_with_index(
         term_stats,
         ["term"],
@@ -659,6 +673,7 @@ def build_index(
             "total_postings": "df",
             "hash_collisions": "coll",
         },
+        cleanup=pins,
     )
     _check_collisions(vstats["hash_collisions"])
     total_postings = int(vstats["total_postings"])
@@ -694,6 +709,7 @@ def build_index(
         avg_doc_len=avg_doc_len,
         total_postings=total_postings,
         config=config,
+        caches=tuple(pins),
     )
 
 

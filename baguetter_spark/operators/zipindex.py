@@ -34,6 +34,7 @@ def zip_with_index(
     *,
     num_partitions: int | None = None,
     extra_sums: dict[str, str] | None = None,
+    cleanup: list | None = None,
 ):
     """Add a dense 0-based ``index_col`` ranking rows by ``order_cols``.
 
@@ -45,6 +46,12 @@ def zip_with_index(
     so callers don't pay a separate Spark job + barrier per scalar stat.
     When provided, returns ``(df, stats)`` where stats holds each requested
     sum plus the total row count under ``"count"``; otherwise returns df.
+
+    ``cleanup``: the two-pass state below is a ``persist()`` whose
+    CacheManager entry is NEVER garbage-collected; pass a list and the
+    pinned frame is appended so the caller can ``unpersist()`` it once the
+    result has been materialized downstream (checkpoint / parquet write).
+    Without it, chained maintenance loops leak one pinned frame per call.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     parts = int(parts)
@@ -61,6 +68,8 @@ def zip_with_index(
     with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if cleanup is not None:
+        cleanup.append(with_pid)
     # Pass 1: per-partition counts -> driver-side prefix sums (#partitions rows)
     agg_exprs = [F.count("*").alias("__cnt")] + [
         F.sum(c).alias(f"__s_{k}") for k, c in (extra_sums or {}).items()

@@ -268,3 +268,149 @@ def test_engine_add_transcripts_incremental(spark):
     bmx = BMXSparkIndex(spark, cfg).build(spark.createDataFrame(a))
     with pytest.raises(NotImplementedError, match="BMX"):
         bmx.add_transcripts(spark.createDataFrame(b))
+
+
+def test_release_and_truncate_free_cached_frames(spark):
+    """release_index unpersists the public tables AND the internal pins
+    (tf/zipindex two-pass state); truncate_lineage releases its input
+    automatically once the checkpoints have materialized, and the
+    checkpointed output stays readable afterwards."""
+    from baguetter_spark.merge import release_index, truncate_lineage
+
+    cfg = _cfg()
+    t = gen_transcripts(10, 3, seed=61, vocab_size=40)
+
+    idx = build_index(spark, spark.createDataFrame(t), cfg)
+    idx.postings.count()  # materialize the pinned frames
+    frames = [idx.doc_map, idx.vocab, idx.postings, *idx.caches]
+    assert idx.caches, "build_index should report its internal pins"
+    assert any(f.is_cached for f in frames)
+    release_index(idx)
+    assert not any(f.is_cached for f in frames)
+
+    idx2 = build_index(spark, spark.createDataFrame(t), cfg)
+    idx2.postings.count()
+    out = truncate_lineage(idx2)
+    assert not any(
+        f.is_cached for f in (idx2.doc_map, idx2.vocab, idx2.postings, *idx2.caches)
+    )
+    assert out.postings.count() > 0 and out.doc_map.count() == idx2.n_docs
+
+
+def test_remove_docs_df_equals_remove_docs(spark, corpus):
+    """merge.remove_docs_df (distributed key set) is row-identical to
+    remove_docs (driver-broadcast keys): same survivor compaction, same
+    re-ranked vocabulary; unknown-key DataFrames are a no-op and removing
+    everything raises."""
+    from baguetter_spark.merge import remove_docs, remove_docs_df
+
+    cfg = _cfg()
+    full = build_index(spark, spark.createDataFrame(corpus), cfg)
+    victims = [r["doc_id"] for r in full.doc_map.orderBy("doc_idx").limit(7).collect()]
+    victims = victims[::2]  # non-contiguous
+
+    a = remove_docs(spark, full, victims)
+    b = remove_docs_df(
+        spark, full, spark.createDataFrame([(k,) for k in victims], "doc_id string")
+    )
+    dm = lambda ix: {(r["doc_idx"], r["doc_id"], r["doc_len"]) for r in ix.doc_map.collect()}
+    vm = lambda ix: {(r["term_id"], r["term"], r["df"]) for r in ix.vocab.collect()}
+    assert (a.n_docs, a.avg_doc_len, a.total_postings) == (
+        b.n_docs,
+        b.avg_doc_len,
+        b.total_postings,
+    )
+    assert dm(a) == dm(b)
+    assert vm(a) == vm(b)
+    # the result must come back lineage-truncated: composed with merge +
+    # the engine's final checkpoint, the raw nested plan OOMs a 4 GiB
+    # driver on plan DEPTH alone (measured at 500 docs)
+    for df in (b.doc_map, b.vocab, b.postings):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:200]
+
+    nothing = spark.createDataFrame([("nosuchkey",)], "doc_id string")
+    assert remove_docs_df(spark, full, nothing) is full
+    everything = full.doc_map.select("doc_id")
+    with pytest.raises(ValueError, match="every document"):
+        remove_docs_df(spark, full, everything)
+
+
+def test_engine_add_transcripts_distributed_removal_path(spark):
+    """driver_key_bound=0 forces the remove_docs_df branch; the result is
+    identical to the default driver-broadcast branch."""
+    from baguetter_spark.engine import BM25SparkIndex
+
+    cfg = _cfg()
+    a = gen_transcripts(45, 15, seed=62, vocab_size=50)
+    convs = sorted(a["conv_id"].unique())[:6]
+    b = a[a["conv_id"].isin(convs)].copy()
+    b["text"] = b["text"] + " swapped"
+    assert 0 < len(b) < len(a)
+
+    eng_df = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(a))
+    eng_df.add_transcripts(spark.createDataFrame(b), driver_key_bound=0)
+    eng_ls = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(a))
+    eng_ls.add_transcripts(spark.createDataFrame(b))
+
+    dm = lambda e: {
+        (r["doc_idx"], r["doc_id"], r["doc_len"]) for r in e.index.doc_map.collect()
+    }
+    vm = lambda e: {(r["term_id"], r["term"], r["df"]) for r in e.index.vocab.collect()}
+    assert eng_df.index.n_docs == eng_ls.index.n_docs == 45
+    assert dm(eng_df) == dm(eng_ls)
+    assert vm(eng_df) == vm(eng_ls)
+
+
+def test_engine_mode_transitions_no_data_loss(spark):
+    """The engine survives list-API <-> DataFrame-API interleaving without
+    dropping documents: add_transcripts leaves list mode (stale driver
+    corpus can no longer clobber the index on the next list op), and
+    add_many on a DataFrame-built index routes through the incremental
+    path instead of silently replacing the whole index."""
+    from baguetter_spark.engine import BM25SparkIndex
+
+    cfg = _cfg()
+    eng = BM25SparkIndex(spark, cfg).add_many(
+        ["doc1", "doc2"], ["alpha bravo charlie", "delta echo foxtrot"]
+    )
+    assert eng.synthetic_turn_suffix is True
+    t = gen_transcripts(8, 4, seed=63, vocab_size=30)
+    eng.add_transcripts(spark.createDataFrame(t))
+    assert eng.synthetic_turn_suffix is False  # left list-API mode
+    assert eng.index.n_docs == 2 + 8  # nothing lost
+
+    eng.remove_many(["nosuchkey"])  # distributed branch, not a stale rebuild
+    assert eng.index.n_docs == 10
+    eng.remove_many(["doc1"])  # no exact id -> conv-id removal of doc1:0
+    assert eng.index.n_docs == 9
+    assert eng.index.doc_map.where("doc_id = 'doc1:0'").count() == 0
+
+    eng2 = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(t))
+    eng2.add_many(["extra1"], ["golf hotel india"])
+    assert eng2.index.n_docs == 8 + 1  # incremental, not replace
+    assert eng2.index.doc_map.where("doc_id = 'extra1:0'").count() == 1
+    assert eng2.index.doc_map.count() == 9  # original docs still present
+
+
+def test_remove_many_conversation_semantics(spark):
+    """A bare conv_id removes EVERY turn of that conversation; an exact
+    doc_id removes exactly that turn (previously 'conv' silently removed
+    only turn 0 of a multi-turn conversation)."""
+    from baguetter_spark.engine import BM25SparkIndex
+
+    cfg = _cfg()
+    t = gen_transcripts(18, 5, seed=64, vocab_size=30)
+    counts = t.groupby("conv_id").size()
+    eng = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(t))
+    assert eng.index.n_docs == 18
+
+    conv = counts[counts >= 2].index[0]  # a multi-turn conversation
+    eng.remove_many([conv])
+    assert eng.index.n_docs == 18 - int(counts[conv])
+    assert eng.index.doc_map.where(f"doc_id like '{conv}:%'").count() == 0
+
+    conv2 = counts[counts >= 2].index[1]
+    eng.remove_many([f"{conv2}:0"])  # exact id: only turn 0 goes
+    assert eng.index.n_docs == 18 - int(counts[conv]) - 1
+    assert eng.index.doc_map.where(f"doc_id = '{conv2}:1'").count() == 1
