@@ -22,6 +22,7 @@ same results shape).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +59,19 @@ def _cosine(a, b):
     NaN — NaN sorts ABOVE every real score in Spark's descending window, so
     it must never reach ranking); callers drop NULL/NaN scores."""
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _round_away6(a):
+    """6-dp round-half-away-from-zero on the SCALED DOUBLE — the regime
+    DuckDB's round() implements.  Used for every numpy-side rounding in the
+    pretrained-IVF path (executor cell assignment AND driver probe
+    selection) so all three engines rank the same rounded values; np.round
+    is half-EVEN (and internally scale-inexact), a third regime that could
+    flip a probe-vs-assignment tie at an exact .5 boundary."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
 
 
 def _drop_unrankable(scored: DataFrame, score_col: str) -> DataFrame:
@@ -337,8 +351,6 @@ def ivf_cosine_topk(
     spark = embeddings.sparkSession
     if centroid_ids is not None:
         # ---- pretrained/injected centroids: no clustering, deterministic
-        from pyspark.sql.window import Window
-
         cells = sorted({int(i) for i in centroid_ids})
         if len(cells) != len(centroid_ids):
             msg = "centroid_ids must be distinct"
@@ -357,21 +369,33 @@ def ivf_cosine_topk(
         if zero:
             msg = f"zero-norm centroid_ids: {zero}"
             raise ValueError(msg)
-        cent_df = spark.createDataFrame(
-            [(j, [float(x) for x in cent_vecs[j]]) for j in range(len(cells))],
-            schema="cell int, cvec array<double>",
-        )
-        # broadcast constant table (n_centroids rows); one map-side pass
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.col("csim").desc(), F.col("cell").asc()
-        )
-        assigned = (
-            normed.select("vec_id", "vec")
-            .crossJoin(F.broadcast(cent_df))
-            .withColumn("csim", F.round(_cosine(F.col("vec"), F.col("cvec")), 6))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "vec", "cell")
+        # Centroids are driver-resident constants, so assignment is a pure
+        # map-side argmax over a broadcast (k x d) matrix — zero shuffle,
+        # zero row amplification.  (The previous plan crossJoined the corpus
+        # with k centroid rows and pushed the k-times-amplified table
+        # through a row_number window — petabytes of shuffle at the
+        # docstring's 10^12-vector scale for what is an argmax over
+        # constants.)  Ties at equal rounded csim go to the smallest cell
+        # (np.argmax returns the first max), matching the oracle's
+        # `ORDER BY csim DESC, cell ASC`.
+        cmat = np.vstack(cent_vecs)
+        cnorm = np.asarray(cent_norms, dtype=np.float64)
+        bc_cent = spark.sparkContext.broadcast((cmat, cnorm))
+
+        @F.pandas_udf("int")
+        def assign_cell(vecs: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            cm, cn = bc_cent.value
+            v = _np.asarray([_np.asarray(x, dtype=_np.float64) for x in vecs])
+            sims = (v @ cm.T) / (_np.linalg.norm(v, axis=1)[:, None] * cn[None, :])
+            sims = _round_away6(sims)
+            return pd.Series(_np.argmax(sims, axis=1).astype(_np.int32))
+
+        assigned = normed.select(
+            "vec_id", "vec", assign_cell(F.col("vec")).alias("cell")
         )
         # probe selection mirrors assignment: round(cosine, 6), ties -> cell
         qraw = {
@@ -386,9 +410,8 @@ def ivf_cosine_topk(
             if qv is None:
                 continue  # zero-norm / missing query vector: unrankable
             qn = float(np.linalg.norm(qv))
-            sims = np.round(
-                [float(qv @ cv) / (qn * cn) for cv, cn in zip(cent_vecs, cent_norms)],
-                6,
+            sims = _round_away6(
+                [float(qv @ cv) / (qn * cn) for cv, cn in zip(cent_vecs, cent_norms)]
             )
             order = sorted(range(len(cells)), key=lambda j: (-sims[j], j))
             probe_rows.extend((int(qid), int(j)) for j in order[:n_probe])
