@@ -393,6 +393,51 @@ def test_engine_mode_transitions_no_data_loss(spark):
     assert eng2.index.doc_map.count() == 9  # original docs still present
 
 
+def test_chained_maintenance_bounded_storage(spark):
+    """A loop of incremental adds must hold ONE index's storage, not one
+    per round: release_index frees the superseded CacheManager pins
+    deterministically, and the superseded localCheckpoint blocks are
+    ContextCleaner-managed (freed once the JVM GCs the dropped plans).
+    Locks in the fix for the per-round pin leak (persistent-RDD count grew
+    linearly with chain length before release_index existed)."""
+    import gc
+    import time
+
+    from baguetter_spark.engine import BM25SparkIndex
+
+    cfg = _cfg()
+    sc = spark.sparkContext._jsc.sc()
+    jvm = spark.sparkContext._jvm
+
+    def settled_count(bound, tries=15):
+        # checkpoint blocks are cleaned asynchronously after a JVM GC —
+        # poll until the count settles at/below the bound or timeout
+        for _ in range(tries):
+            gc.collect()
+            jvm.java.lang.System.gc()
+            n = sc.getPersistentRDDs().size()
+            if n <= bound:
+                return n
+            time.sleep(1.0)
+        return sc.getPersistentRDDs().size()
+
+    eng = BM25SparkIndex(spark, cfg).build(
+        spark.createDataFrame(gen_transcripts(24, 8, seed=65, vocab_size=40))
+    )
+    eng.index.postings.count()
+    base = settled_count(bound=0)  # just measure the post-build level
+
+    for i in range(3):
+        batch = gen_transcripts(10 + 2 * i, 4, seed=70 + i, vocab_size=40)
+        eng.add_transcripts(spark.createDataFrame(batch))
+
+    # one live index = its 3 checkpointed tables (+ a little cleaner slack);
+    # a leak of one index per round would add >= 3 per iteration
+    final = settled_count(bound=base + 4)
+    assert final <= base + 4, f"storage grew {base} -> {final} over 3 chained adds"
+    assert eng.index.doc_map.count() == eng.index.n_docs  # still readable
+
+
 def test_remove_many_conversation_semantics(spark):
     """A bare conv_id removes EVERY turn of that conversation; an exact
     doc_id removes exactly that turn (previously 'conv' silently removed
