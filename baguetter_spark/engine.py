@@ -78,9 +78,17 @@ class BM25SparkIndex:
             # DataFrame-built or loaded index: there is no driver corpus to
             # rebuild from — rebuilding from `new` alone would silently
             # REPLACE the whole index.  Route through the distributed
-            # incremental path instead (same replace-on-collision
-            # semantics); doc ids are exposed verbatim (``key:0``).
-            return self.add_transcripts(self.spark.createDataFrame(new))
+            # incremental path instead; doc ids are exposed verbatim
+            # (``key:0``).  Replacement covers the WHOLE conversation
+            # (reference ``corpus[key] = value`` replaces the entire
+            # document): drop every existing turn of each key first —
+            # the segment's collision pass alone would replace only
+            # ``key:0`` and leave stale turns 1..n of a multi-turn
+            # conversation searchable, disagreeing with remove_many's
+            # bare-key = whole-conversation resolution.
+            new_df = self.spark.createDataFrame(new)
+            self.index = self._remove_from_index(keys)
+            return self.add_transcripts(new_df)
         self._corpus = (
             new
             if self._corpus is None
@@ -130,34 +138,42 @@ class BM25SparkIndex:
 
         bound = self.DRIVER_KEY_BOUND if driver_key_bound is None else driver_key_bound
         seg = build_index(self.spark, transcripts, self.config)
-        # the index no longer derives from the driver corpus: leave
-        # list-API mode (see docstring)
-        self._corpus = None
-        if self.index is None:
-            self.index = seg
-            return self
-        old = self.index
-        overlap_keys = seg.doc_map.select("doc_id").join(
-            old.doc_map.select("doc_id"), "doc_id", "left_semi"
-        )
-        n_overlap = overlap_keys.count()
-        if n_overlap >= old.n_docs:  # batch replaces everything
-            self.index = seg
-            release_index(old)
-            return self
-        if n_overlap == 0:
-            base = old
-        elif n_overlap <= bound:
-            keys = [r["doc_id"] for r in overlap_keys.collect()]
-            base = remove_docs(self.spark, old, keys)
-        else:
-            base = remove_docs_df(self.spark, old, overlap_keys)
-        # checkpoint: without cutting lineage here, a loop of incremental
-        # adds stacks decode+merge subtrees until the driver OOMs on the
-        # plan itself (see merge.truncate_lineage)
-        self.index = truncate_lineage(
-            merge_indexes(self.spark, [base, seg], self.config)
-        )
+        # State transitions happen only on SUCCESS: a mid-operation failure
+        # (overlap count, merge, checkpoint) must leave the engine exactly
+        # as it was — self.index untouched, list-API mode intact — and must
+        # not leak the segment's pinned frames.
+        base = old = self.index
+        try:
+            if self.index is None:
+                self.index = seg
+                self._corpus = None  # leave list-API mode (see docstring)
+                return self
+            overlap_keys = seg.doc_map.select("doc_id").join(
+                old.doc_map.select("doc_id"), "doc_id", "left_semi"
+            )
+            n_overlap = overlap_keys.count()
+            if n_overlap >= old.n_docs:  # batch replaces everything
+                self.index = seg
+                self._corpus = None
+                release_index(old)
+                return self
+            if 0 < n_overlap <= bound:
+                keys = [r["doc_id"] for r in overlap_keys.collect()]
+                base = remove_docs(self.spark, old, keys)
+            elif n_overlap > bound:
+                base = remove_docs_df(self.spark, old, overlap_keys)
+            # checkpoint: without cutting lineage here, a loop of incremental
+            # adds stacks decode+merge subtrees until the driver OOMs on the
+            # plan itself (see merge.truncate_lineage)
+            self.index = truncate_lineage(
+                merge_indexes(self.spark, [base, seg], self.config)
+            )
+            self._corpus = None
+        except BaseException:
+            release_index(seg)
+            if base is not old:
+                release_index(base)
+            raise
         # the checkpoint has materialized: every superseded frame is garbage
         if base is not old:
             release_index(base)
@@ -346,12 +362,24 @@ class BMXSparkIndex(BM25SparkIndex):
     operators/bmx.py (min_df applied, query-dependent entropy/sim terms)."""
 
     def build(self, transcripts: DataFrame) -> BMXSparkIndex:
+        from baguetter_spark.merge import release_index
+
+        old = self.index
         self.index = build_bmx_index(self.spark, transcripts, self.config)
+        # leave list-API mode: a stale driver corpus must never clobber a
+        # DataFrame-built index on the next list op, and ':0' suffixes on
+        # transcript doc ids are real turn indexes, not synthetic
+        self._corpus = None
+        release_index(old)
         return self
 
     def _rebuild(self) -> BMXSparkIndex:
+        from baguetter_spark.merge import release_index
+
         sdf = self.spark.createDataFrame(self._corpus)
+        old = self.index
         self.index = build_bmx_index(self.spark, sdf, self.config)
+        release_index(old)
         return self
 
     def _remove_from_index(self, keys: list[str]):

@@ -236,7 +236,9 @@ def build_index_resumable(
     # into a schema mismatch
     base_fp = f"{input_id}:v3:{config.config_hash()}"
 
-    keys = indexed_keys(transcripts)
+    pins: list = []  # zipindex/build_vocab pinned frames; every stage lands
+    # in parquet, so the pins are pure session garbage once the run finishes
+    keys = indexed_keys(transcripts, cleanup=pins)
     # shuffle_hash: avoid the SMJ string-sort of the text side (see indexer.py)
     docs = (
         docs_from_transcripts(transcripts)
@@ -295,7 +297,7 @@ def build_index_resumable(
     vocab = runner.run(
         "stage_vocab",
         f"{base_fp}:vocab",
-        lambda: build_vocab(tf, n_docs, avg_doc_len, config),
+        lambda: build_vocab(tf, n_docs, avg_doc_len, config, cleanup=pins),
         range_by=["term_id"],
     )
     postings = runner.run(
@@ -308,6 +310,13 @@ def build_index_resumable(
         range_by=["term_id", "block_id"],
     )
 
+    # every stage is parquet-backed now: release the builders' pinned frames
+    # instead of carrying them (a resumable-seeded maintenance chain would
+    # otherwise leak one set per build — they are invisible to release_index
+    # because the public tables here are parquet reloads, not the plans the
+    # pins served)
+    for df in pins:
+        df.unpersist(blocking=False)
     index = BM25Index(
         doc_map=doc_map,
         vocab=vocab,

@@ -46,7 +46,7 @@ from baguetter_spark.operators.indexer import (
 )
 
 
-def release_index(index: BM25Index | None) -> None:
+def release_index(index) -> None:
     """Unpersist an index's cached frames (the three public tables plus the
     internal ``caches`` pins collected by build_index/_reindex_flat).
 
@@ -56,10 +56,13 @@ def release_index(index: BM25Index | None) -> None:
     (chained add_transcripts / remove rounds) must release the superseded
     one, or executor storage grows by a full index copy per round until
     eviction thrash.  Only call once nothing downstream will re-read the
-    frames (i.e. after the successor's checkpoint has materialized)."""
+    frames (i.e. after the successor's checkpoint has materialized).
+
+    Accepts any index shape with doc_map/vocab/postings DataFrames —
+    BM25Index and BMXIndex (which has no ``caches`` field) both qualify."""
     if index is None:
         return
-    for df in (index.doc_map, index.vocab, index.postings, *index.caches):
+    for df in (index.doc_map, index.vocab, index.postings, *getattr(index, "caches", ())):
         try:
             df.unpersist(blocking=False)
         except Exception:  # pragma: no cover - already released / plan gone

@@ -79,6 +79,10 @@ class BMXIndex:
     n_docs: int
     avg_doc_len: float
     config: SparseIndexConfig
+    # internal pinned frames the public tables were computed from — see
+    # indexer.BM25Index.caches / merge.release_index (persist entries are
+    # never GC'd; whoever supersedes this index must release them)
+    caches: tuple = ()
 
 
 def _avg_doc_len_f32_emulated(total_len: int, n_docs: int) -> float:
@@ -104,13 +108,14 @@ def build_bmx_index(
     config = config or SparseIndexConfig()
     min_df = int(config.min_df)
     is_f32 = config.dtype == "float32"
+    pins: list = []  # internal pinned frames -> BMXIndex.caches
 
     # shuffle_hash: avoid the SMJ string-sort of the text side (see indexer.py)
     keys_frame = docs_from_transcripts(transcripts).select(
         "conv_id", "turn_idx", "doc_id"
     )
     keys_full, kstats = zip_with_index(
-        keys_frame, ["conv_id", "turn_idx"], "doc_idx", extra_sums={}
+        keys_frame, ["conv_id", "turn_idx"], "doc_idx", extra_sums={}, cleanup=pins
     )
     n_docs = kstats["count"]  # piggybacked on the zipindex counts pass
     keys = keys_full
@@ -126,17 +131,20 @@ def build_bmx_index(
     # per-doc counts fused into the tokenizer Arrow pass (no token-level
     # shuffle; 8-byte term_hash keys — see indexer.local_term_frequencies)
     tf = local_term_frequencies(docs, config).persist()
+    pins.append(tf)
 
     # vocabulary: sorted rank over terms with df >= min_df (CountVectorizer
     # min_df semantics, index.py:211-218; unlike BM25, min_df IS applied).
     # ttf (sum tf of KEPT terms) rides the zipindex counts pass -> total_len
     # of the min_df-filtered doc-term matrix with no extra job.
     term_stats = hashed_term_stats(tf).where(F.col("df") >= min_df).persist()
+    pins.append(term_stats)
     vocab_base, vstats = zip_with_index(
         term_stats,
         ["term"],
         "term_id",
         extra_sums={"total_len": "ttf", "hash_collisions": "coll"},
+        cleanup=pins,
     )
     _check_collisions(vstats["hash_collisions"])
     total_len = int(vstats["total_len"])
@@ -218,6 +226,7 @@ def build_bmx_index(
         .fillna(0, subset=["doc_len"])
         .persist()
     )
+    pins.append(doc_map)  # pre-rel_len base; the final doc_map re-persists
     avg_doc_len = (
         _avg_doc_len_f32_emulated(total_len, n_docs)
         if is_f32
@@ -254,6 +263,7 @@ def build_bmx_index(
         n_docs=n_docs,
         avg_doc_len=avg_doc_len,
         config=config,
+        caches=tuple(pins),
     )
 
 

@@ -209,7 +209,7 @@ def docs_from_transcripts(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def indexed_keys(transcripts: DataFrame) -> DataFrame:
+def indexed_keys(transcripts: DataFrame, cleanup: list | None = None) -> DataFrame:
     """transcripts -> (conv_id, turn_idx, doc_id, doc_idx); doc_idx = rank of
     (conv_id, turn_idx) — the reference's insertion order (SURVEY §4.2.4).
 
@@ -221,7 +221,7 @@ def indexed_keys(transcripts: DataFrame) -> DataFrame:
     don't (doc_map) read the persisted narrow frame.  At 10^12 turns this is
     the difference between persisting terabytes and persisting key columns."""
     keys = docs_from_transcripts(transcripts).select("conv_id", "turn_idx", "doc_id")
-    return zip_with_index(keys, ["conv_id", "turn_idx"], "doc_idx")
+    return zip_with_index(keys, ["conv_id", "turn_idx"], "doc_idx", cleanup=cleanup)
 
 
 def indexed_docs(transcripts: DataFrame) -> DataFrame:

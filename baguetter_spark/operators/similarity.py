@@ -386,17 +386,30 @@ def ivf_cosine_topk(
         def assign_cell(vecs: pd.Series) -> pd.Series:
             import numpy as _np
 
-            if len(vecs) == 0:
-                return pd.Series([], dtype="int32")
             cm, cn = bc_cent.value
-            v = _np.asarray([_np.asarray(x, dtype=_np.float64) for x in vecs])
-            sims = (v @ cm.T) / (_np.linalg.norm(v, axis=1)[:, None] * cn[None, :])
-            sims = _round_away6(sims)
-            return pd.Series(_np.argmax(sims, axis=1).astype(_np.int32))
+            out = _np.full(len(vecs), -1, dtype=_np.int32)
+            if len(vecs) == 0:
+                return pd.Series(out)
+            # dimension-mismatched (ragged-ingest) vectors are unrankable:
+            # assign cell -1 and drop below — the SQL plan this replaced
+            # yielded NULL cosine for them and they died at the exact-cosine
+            # rerank's NaN filter; crashing the matmul instead would fail
+            # the whole job on one bad row
+            dims = vecs.map(lambda x: -1 if x is None else len(x)).to_numpy()
+            ok = dims == cm.shape[1]
+            if ok.any():
+                v = _np.asarray(
+                    [_np.asarray(x, dtype=_np.float64) for x in vecs[ok]]
+                )
+                sims = _round_away6(
+                    (v @ cm.T) / (_np.linalg.norm(v, axis=1)[:, None] * cn[None, :])
+                )
+                out[_np.flatnonzero(ok)] = _np.argmax(sims, axis=1).astype(_np.int32)
+            return pd.Series(out)
 
         assigned = normed.select(
             "vec_id", "vec", assign_cell(F.col("vec")).alias("cell")
-        )
+        ).where(F.col("cell") >= 0)
         # probe selection mirrors assignment: round(cosine, 6), ties -> cell
         qraw = {
             r["vec_id"]: np.asarray(r["vec"], dtype=np.float64)

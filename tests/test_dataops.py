@@ -424,6 +424,25 @@ def test_ivf_pretrained_centroids(spark):
         ivf_cosine_topk(zemb, qids, k=3, centroid_ids=[10, 999])
 
 
+def test_ivf_pretrained_ragged_vector_dropped(spark):
+    """A dimension-mismatched (ragged-ingest) corpus vector is unrankable:
+    the map-side argmax assigns it no cell and it vanishes from results
+    instead of crashing the matmul (and with it the whole job)."""
+    import numpy as np
+
+    from baguetter_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(31)
+    rows = [(i, rng.normal(size=12).tolist()) for i in range(40)]
+    rows.append((777, rng.normal(size=5).tolist()))  # ragged row
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = ivf_cosine_topk(
+        emb, [0, 3], k=40, n_probe=4, centroid_ids=[1, 11, 21, 31]
+    ).collect()
+    assert res, "sane vectors still rank"
+    assert all(r["vec_id"] != 777 for r in res)
+
+
 def test_ivf_zero_norm_query_dropped(spark):
     """A zero-norm query vector is unrankable: it probes no cells and simply
     returns no rows (no ANSI divide error, no NaN ranks)."""

@@ -8,6 +8,7 @@ import shutil
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
 from baguetter_spark.fixtures import gen_transcripts
@@ -393,6 +394,120 @@ def test_engine_mode_transitions_no_data_loss(spark):
     assert eng2.index.doc_map.count() == 9  # original docs still present
 
 
+def test_add_many_replaces_whole_conversation(spark):
+    """add_many on a DataFrame-built index replaces the ENTIRE conversation
+    named by the key (reference corpus[key]=value replaces the whole
+    document) — not just turn 0, which would leave stale turns 1..n
+    searchable and disagree with remove_many's bare-key resolution."""
+    from baguetter_spark.engine import BM25SparkIndex
+
+    cfg = _cfg()
+    t = gen_transcripts(18, 5, seed=66, vocab_size=30)
+    counts = t.groupby("conv_id").size()
+    conv = counts[counts >= 2].index[0]
+    eng = BM25SparkIndex(spark, cfg).build(spark.createDataFrame(t))
+
+    eng.add_many([conv], ["replacement text only"])
+    # all old turns of `conv` gone; exactly one new doc `conv:0`
+    assert eng.index.n_docs == 18 - int(counts[conv]) + 1
+    got = {
+        r["doc_id"]
+        for r in eng.index.doc_map.where(
+            F.col("doc_id").startswith(f"{conv}:")
+        ).collect()
+    }
+    assert got == {f"{conv}:0"}
+
+
+def test_bmx_build_leaves_list_mode_and_releases(spark):
+    """BMXSparkIndex.build must behave like the BM25 base: reset the driver
+    corpus (stale list corpus can no longer clobber the index; ':0' on
+    transcript ids is a real turn index) and release the superseded
+    index's pinned frames (BMXIndex now reports its internal pins)."""
+    from baguetter_spark.engine import BMXSparkIndex
+    from baguetter_spark.merge import release_index
+
+    cfg = _cfg()
+    eng = BMXSparkIndex(spark, cfg).add_many(["k1"], ["alpha bravo charlie"])
+    assert eng.synthetic_turn_suffix is True
+    first = eng.index
+    first.postings.count()
+    frames = [first.doc_map, first.vocab, first.postings, *first.caches]
+    assert first.caches, "build_bmx_index should report its internal pins"
+    assert any(f.is_cached for f in frames)
+
+    t = gen_transcripts(8, 4, seed=67, vocab_size=30)
+    eng.build(spark.createDataFrame(t))
+    assert eng.synthetic_turn_suffix is False  # left list-API mode
+    assert eng.index.n_docs == 8
+    assert not any(f.is_cached for f in frames)  # superseded build released
+
+    # release_index accepts a BMXIndex directly (no caches-field AttributeError)
+    eng.index.postings.count()
+    release_index(eng.index)
+
+    # and a list op on the DataFrame-built index is LOUD, not a silent replace
+    with pytest.raises(NotImplementedError, match="BMX"):
+        eng.add_many(["k2"], ["delta echo"])
+
+
+def test_add_transcripts_failure_leaves_state_intact(spark, monkeypatch):
+    """A mid-operation failure (merge dies) must leave the engine exactly as
+    it was: index untouched and still searchable, list-API mode intact, and
+    the half-built segment's pinned frames released."""
+    import baguetter_spark.merge as merge_mod
+    from baguetter_spark.engine import BM25SparkIndex
+
+    cfg = _cfg()
+    eng = BM25SparkIndex(spark, cfg).add_many(
+        ["doc1", "doc2"], ["alpha bravo charlie", "delta echo foxtrot"]
+    )
+    before = eng.index
+
+    def boom(*a, **k):
+        raise RuntimeError("merge exploded")
+
+    monkeypatch.setattr(merge_mod, "merge_indexes", boom)
+    t = gen_transcripts(6, 3, seed=68, vocab_size=30)
+    with pytest.raises(RuntimeError, match="merge exploded"):
+        eng.add_transcripts(spark.createDataFrame(t))
+
+    assert eng.index is before  # untouched
+    assert eng.synthetic_turn_suffix is True  # still in list-API mode
+    keys, _ = eng.search("alpha")
+    assert keys[0] == "doc1"  # suffix stripping still applies
+    # and the engine recovers: the same op succeeds once merge works again
+    monkeypatch.undo()
+    eng.add_transcripts(spark.createDataFrame(t))
+    assert eng.index.n_docs == 2 + 6
+
+
+def test_resumable_build_releases_pins(spark, tmp_path):
+    """build_index_resumable's zipindex/build_vocab pins are parquet-backed
+    garbage once the run finishes — they must be unpersisted, or a
+    resumable-seeded maintenance chain leaks one set per build."""
+    import gc
+
+    from baguetter_spark.io import build_index_resumable
+
+    cfg = _cfg()
+    sc = spark.sparkContext._jsc.sc()
+    jvm = spark.sparkContext._jvm
+    t = gen_transcripts(12, 4, seed=69, vocab_size=30)
+
+    gc.collect()
+    jvm.java.lang.System.gc()
+    before = sc.getPersistentRDDs().size()
+    idx = build_index_resumable(
+        spark, spark.createDataFrame(t), cfg, str(tmp_path / "resume")
+    )
+    assert idx.doc_map.count() == 12
+    gc.collect()
+    jvm.java.lang.System.gc()
+    after = sc.getPersistentRDDs().size()
+    assert after <= before + 1, f"resumable build leaked pins: {before} -> {after}"
+
+
 def test_chained_maintenance_bounded_storage(spark):
     """A loop of incremental adds must hold ONE index's storage, not one
     per round: release_index frees the superseded CacheManager pins
@@ -425,7 +540,9 @@ def test_chained_maintenance_bounded_storage(spark):
         spark.createDataFrame(gen_transcripts(24, 8, seed=65, vocab_size=40))
     )
     eng.index.postings.count()
-    base = settled_count(bound=0)  # just measure the post-build level
+    gc.collect()
+    jvm.java.lang.System.gc()
+    base = sc.getPersistentRDDs().size()  # post-build level (plain read)
 
     for i in range(3):
         batch = gen_transcripts(10 + 2 * i, 4, seed=70 + i, vocab_size=40)
