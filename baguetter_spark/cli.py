@@ -5,9 +5,15 @@ evaluate retrievers over HF datasets; this is the cluster-shaped
 counterpart (SURVEY §7.2): argparse (typer isn't in the sandbox), parquet
 paths in/out, and a SparkSession that inherits spark-submit's master/conf.
 
-    spark-submit --py-files baguetter_spark.zip -m baguetter_spark.cli \\
+    python scripts/make_pyfiles_zip.py dist/baguetter_spark.zip
+    spark-submit --py-files dist/baguetter_spark.zip baguetter_spark/cli.py \\
         build-index --input s3://.../transcripts --output s3://.../index \\
         --resumable --assume-sorted
+
+(spark-submit has no ``-m``: the app file is this module submitted by
+path; the zip provides the package to the driver AND the executors'
+UDF unpickling.  Verified end-to-end from a clean cwd — build-index +
+search produce correct results with imports resolved from the zip only.)
 
 Subcommands:
 - ``build-index``: transcripts parquet -> saved index (optionally through
