@@ -72,8 +72,29 @@ DEFAULT_GATE_FAULT = 1000.0  # healthy lazy-backing regime; throttled = 2-160
 # touched by foreground experiments (pytest, ab_compare) so the campaign
 # pauses instead of measuring a window we contended ourselves
 FOREGROUND_LOCK = os.path.join(REPO, "BENCH", ".foreground_lock")
+# Longest legitimate foreground job (sf0.1 gate) is ~20 min; a lock older
+# than this means its holder died without cleaning up (it happened: a dead
+# session's lock consumed an entire campaign window as 518 skips).  The
+# campaign self-heals by removing the stale lock and continuing.
+STALE_LOCK_S = 2 * 3600
 SKIP_BW = 8.0  # below these the window is hopeless: skip the trial
 SKIP_FAULT = 40.0
+
+
+def _foreground_locked(emit_fn, fh) -> bool:
+    """True while a LIVE foreground lock is held; stale locks are removed."""
+    try:
+        age = time.time() - os.path.getmtime(FOREGROUND_LOCK)
+    except OSError:  # no lock
+        return False
+    if age <= STALE_LOCK_S:
+        return True
+    try:
+        os.remove(FOREGROUND_LOCK)
+        emit_fn(fh, {"event": "stale_foreground_lock_removed", "age_s": round(age)})
+    except OSError:  # raced with the holder / another poller
+        pass
+    return False
 
 
 def run_build_once(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> None:
@@ -407,7 +428,7 @@ def main() -> None:
                 # holds this lockfile so the campaign neither measures a
                 # self-contended window nor records a leg poisoned by our
                 # own load (probes can't tell host weather from our load)
-                if os.path.exists(FOREGROUND_LOCK):
+                if _foreground_locked(emit, fh):
                     emit(fh, {"event": "skip_foreground_lock"})
                     time.sleep(30)
                     continue
@@ -503,7 +524,7 @@ def main() -> None:
             # A/B harness) holds this lockfile so a trial neither measures
             # a self-contended window nor records legs poisoned by our own
             # load (probes cannot tell host weather from our load)
-            if os.path.exists(FOREGROUND_LOCK):
+            if _foreground_locked(emit, fh):
                 emit(fh, {"event": "skip_foreground_lock"})
                 time.sleep(30)
                 continue
