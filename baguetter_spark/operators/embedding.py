@@ -255,6 +255,12 @@ def cached_embed_texts(
             F.col("__cached").alias(out_col),
         )
     # concurrent writers may race duplicate keys into the append-only
-    # table; any one row per key is the same vector for one model config
-    full_cache = full_cache.dropDuplicates(["__cache_key"])
+    # table; any one row per key is the same vector for one model config.
+    # Prune BEFORE deduplicating: dropDuplicates over the raw table would
+    # shuffle the ENTIRE cache (10^10 keys at scale) on every call — the
+    # semi-join bounds it to the input's own key set, and parquet gets a
+    # pushable join filter instead of a full scan feeding an aggregate.
+    full_cache = full_cache.join(
+        keyed.select("__cache_key").distinct(), "__cache_key", "left_semi"
+    ).dropDuplicates(["__cache_key"])
     return keyed.join(full_cache, "__cache_key").select(*df.columns, out_col)
