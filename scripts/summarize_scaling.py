@@ -106,15 +106,38 @@ def summarize(path: str) -> dict:
     clean = [t for t in trials if is_clean(t)]
     dirty = [t for t in trials if not is_clean(t)]
     # protocol v3: independently-gated legs; clean trials contribute their
-    # two legs to the same per-leg pools
+    # two legs to the same per-leg pools.
+    #
+    # Protocol homogeneity: v5/v6 double-run legs record the SECOND
+    # (warm, steady-state) build; v4 single-run legs (small warmup, one
+    # full-size run) measure a colder state — observed 10-25% below warm
+    # legs on both sides.  Pooling the two would mix measurands, so each
+    # protocol gets its own pool; the headline efficiency comes from the
+    # warm pool whenever one exists (the documented official measurand),
+    # with the single-run pool reported alongside.
     clean_legs = [t for t in legs if leg_is_clean(t)]
     dirty_legs = [t for t in legs if not leg_is_clean(t)]
+
+    def _is_singlerun(t: dict) -> bool:
+        return not t.get("turns_per_sec_coldrun")
+
+    warm_legs = [t for t in clean_legs if not _is_singlerun(t)]
+    sr_legs = [t for t in clean_legs if _is_singlerun(t)]
     pool_n = [t["turns_per_sec_N"] for t in clean] + [
-        t["turns_per_sec"] for t in clean_legs if not t["is_4n"]
+        t["turns_per_sec"] for t in warm_legs if not t["is_4n"]
     ]
     pool_4n = [t["turns_per_sec_4N"] for t in clean] + [
-        t["turns_per_sec"] for t in clean_legs if t["is_4n"]
+        t["turns_per_sec"] for t in warm_legs if t["is_4n"]
     ]
+    sr_pool_n = [t["turns_per_sec"] for t in sr_legs if not t["is_4n"]]
+    sr_pool_4n = [t["turns_per_sec"] for t in sr_legs if t["is_4n"]]
+    if not (pool_n and pool_4n) and (sr_pool_n and sr_pool_4n):
+        # single-run-only log (v4 campaigns): that pool IS the record
+        pool_n, pool_4n = sr_pool_n, sr_pool_4n
+        sr_pool_n = sr_pool_4n = []
+        out_measured = "single full-size run after small warmup (v4)"
+    else:
+        out_measured = "2nd build in warmed JVM (cold run logged)"
     out = {
         "source": path,
         "n_turns": cfg["n_turns"],
@@ -130,11 +153,20 @@ def summarize(path: str) -> dict:
         "aborted": aborted,
         "failed": failed,
         "pinned": "taskset",
-        "measured_run": "2nd build in warmed JVM (cold run logged)",
+        "measured_run": out_measured,
     }
     out["legs_total"] = len(legs)
-    out["legs_clean_N"] = len([t for t in clean_legs if not t["is_4n"]])
-    out["legs_clean_4N"] = len([t for t in clean_legs if t["is_4n"]])
+    out["legs_clean_N"] = len(pool_n) - len(clean)
+    out["legs_clean_4N"] = len(pool_4n) - len(clean)
+    if sr_pool_n or sr_pool_4n:
+        out["singlerun_legs_clean_N"] = len(sr_pool_n)
+        out["singlerun_legs_clean_4N"] = len(sr_pool_4n)
+        if sr_pool_n and sr_pool_4n:
+            out["singlerun_turns_per_sec_N"] = round(_median(sr_pool_n), 1)
+            out["singlerun_turns_per_sec_4N"] = round(_median(sr_pool_4n), 1)
+            out["singlerun_scaling_efficiency"] = round(
+                _median(sr_pool_4n) / (4 * _median(sr_pool_n)), 3
+            )
     if pool_n and pool_4n:
         out.update(
             {
