@@ -69,6 +69,11 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 HEALTHY_BW_GBPS = 90.0  # 8-proc aggregate prefaulted copy, idle guest
 DEFAULT_GATE_BW = 45.0  # worst bw reading ever observed on this boot is 61.8
 DEFAULT_GATE_FAULT = 1000.0  # healthy lazy-backing regime; throttled = 2-160
+# In-leg gate (protocol v7) sits BELOW the bracket gate: the running leg's
+# own allocation stream competes with the sampler for host fault service,
+# so healthy windows read lower mid-leg than idle; the throttled regime
+# reads 3-200 MB/s, so 300 still separates the two modes.
+DEFAULT_GATE_INLEG_FAULT = 300.0
 # touched by foreground experiments (pytest, ab_compare) so the campaign
 # pauses instead of measuring a window we contended ourselves
 FOREGROUND_LOCK = os.path.join(REPO, "BENCH", ".foreground_lock")
@@ -283,10 +288,63 @@ def _leg_timeout_s(cores: int, n_turns: int) -> float:
     return 2.0 * 2 * healthy_run + 180
 
 
-def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple[float, float]:
-    """Returns (warm turns/s — recorded, cold turns/s — logged).
-    Raises LegTimeout (after killing the leg's process group) if the leg
-    exceeds its weather cap."""
+INLEG_SAMPLER_CORE = 31  # far from leg cores 0-(c-1); fault probe only
+INLEG_SAMPLE_PERIOD_S = 20.0
+
+
+def _fault_probe_once(core: int = INLEG_SAMPLER_CORE, timeout: float = 120.0) -> float | None:
+    """One fresh-allocation fault-service reading (MB/s), pinned to a core
+    the leg does not use.  A 64 MiB alloc+fill costs <0.1 s healthy and
+    steals no measurable bandwidth from the leg; in a throttled window it
+    takes 11-27 s and reads 3-200 — exactly the signal we need mid-leg."""
+    try:
+        out = subprocess.run(
+            ["taskset", "-c", str(core), sys.executable,
+             os.path.abspath(__file__), "--fault-one"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])["mbps"]
+    except Exception:
+        return None
+
+
+class _InlegSampler:
+    """Protocol v7: sample lazy-backing fault service every
+    INLEG_SAMPLE_PERIOD_S for the DURATION of a leg, from a spare core.
+    Bracketing probes cannot see a window closing mid-leg (observed: legs
+    recorded 'clean' at 30% below warm-pool medians with green brackets);
+    the in-leg minimum is a pre-registered external health measure,
+    independent of the leg's own result."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            mbps = _fault_probe_once()
+            if mbps is not None:
+                self.samples.append(round(mbps, 1))
+            self._stop.wait(INLEG_SAMPLE_PERIOD_S)
+
+    def __enter__(self) -> "_InlegSampler":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=130.0)
+
+
+def measure(
+    cores: int, tpath: str, n_turns: int, mode: str = "sorted"
+) -> tuple[float, float, list[float]]:
+    """Returns (warm turns/s — recorded, cold turns/s — logged, in-leg
+    fault-service samples MB/s).  Raises LegTimeout (after killing the
+    leg's process group) if the leg exceeds its weather cap."""
     import signal
 
     cpu_list = f"0-{cores - 1}"
@@ -303,7 +361,8 @@ def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple
         start_new_session=True,  # own pgid: the JVM grandchild dies with it
     )
     try:
-        out, err = proc.communicate(timeout=_leg_timeout_s(cores, n_turns))
+        with _InlegSampler() as sampler:
+            out, err = proc.communicate(timeout=_leg_timeout_s(cores, n_turns))
     except subprocess.TimeoutExpired:
         try:
             os.killpg(proc.pid, signal.SIGKILL)
@@ -317,7 +376,7 @@ def measure(cores: int, tpath: str, n_turns: int, mode: str = "sorted") -> tuple
     last = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(last)
     cold = rec.get("seconds_cold")
-    return n_turns / rec["seconds"], (n_turns / cold if cold else 0.0)
+    return n_turns / rec["seconds"], (n_turns / cold if cold else 0.0), sampler.samples
 
 
 def _median(xs: list[float]) -> float:
@@ -375,6 +434,7 @@ def main() -> None:
     mode = args[3] if len(args) > 3 else "sorted"
     gate_bw = float(flags.get("--gate-bw", DEFAULT_GATE_BW))
     gate_fault = float(flags.get("--gate-fault", DEFAULT_GATE_FAULT))
+    gate_inleg = float(flags.get("--gate-inleg-fault", DEFAULT_GATE_INLEG_FAULT))
     max_attempts = int(flags.get("--max-attempts", want_clean * 4))
     max_seconds = float(flags.get("--max-seconds", 6 * 3600))
     out_path = flags.get(
@@ -400,7 +460,8 @@ def main() -> None:
         emit(fh, {"event": "campaign_start", "n_turns": n_turns,
                   "cores_N": n_cores, "cores_4N": n_cores * 4,
                   "want_clean": want_clean, "gate_bw_gbps": gate_bw,
-                  "gate_fault_mbps": gate_fault, "mode": mode,
+                  "gate_fault_mbps": gate_fault,
+                  "gate_inleg_fault_mbps": gate_inleg, "mode": mode,
                   "leg_mode": leg_mode})
         t_start = time.time()
         warmup_turns = int(flags.get("--warmup-turns", "200000"))
@@ -449,7 +510,7 @@ def main() -> None:
                 is_4n = len(clean_4n) <= len(clean_n)
                 cores = n_cores * 4 if is_4n else n_cores
                 try:
-                    warm, cold = measure(cores, tpath, n_turns, mode)
+                    warm, cold, inleg = measure(cores, tpath, n_turns, mode)
                 except LegTimeout as exc:
                     emit(fh, {"event": "leg_aborted", "attempt": attempts,
                               "cores": cores, "reason": str(exc),
@@ -468,12 +529,22 @@ def main() -> None:
                 # probes can miss (observed: a 4c leg warm 18.4k vs cold
                 # 22.5k with both probes green).  Not applicable to v4
                 # single-run legs (cold == 0).
+                # protocol v7: the leg's in-leg fault-service samples must
+                # all clear the in-leg gate — the bracketing probes cannot
+                # see a window that closes mid-leg (observed: 'clean' legs
+                # 30% below the warm-pool medians with green brackets).
+                # The in-leg gate is LOWER than the bracket gate because
+                # the leg's own allocation stream competes for the host's
+                # fault service; the pathology regime reads 3-200 MB/s, so
+                # the gate still separates the modes cleanly.
                 clean = all(
                     p["agg_bw_gbps"] is not None
                     and p["agg_bw_gbps"] >= gate_bw
                     and p["fault_mbps"] >= gate_fault
                     for p in (pr0, pr1)
-                ) and (cold <= 0 or warm >= cold)
+                ) and (cold <= 0 or warm >= cold) and (
+                    not inleg or min(inleg) >= gate_inleg
+                )
                 if clean:
                     (clean_4n if is_4n else clean_n).append(warm)
                 emit(fh, {
@@ -482,6 +553,7 @@ def main() -> None:
                     "probe_pre": pr0, "probe_post": pr1,
                     "turns_per_sec": round(warm, 1),
                     "turns_per_sec_coldrun": round(cold, 1),
+                    "inleg_fault_mbps": inleg,
                     "clean_recorded_N": len(clean_n),
                     "clean_recorded_4N": len(clean_4n),
                 })
@@ -550,9 +622,9 @@ def main() -> None:
             # the N leg and leave the 4N leg running ~40 min later in
             # whatever the window had decayed to — biasing eff DOWN.
             try:
-                w_4n, c_4n = measure(n_cores * 4, tpath, n_turns, mode)
+                w_4n, c_4n, inleg_4n = measure(n_cores * 4, tpath, n_turns, mode)
                 pr1 = probes()
-                w_n, c_n = measure(n_cores, tpath, n_turns, mode)
+                w_n, c_n, inleg_n = measure(n_cores, tpath, n_turns, mode)
                 pr2 = probes()
             except LegTimeout as exc:
                 emit(fh, {"event": "trial_aborted", "attempt": attempts,
@@ -571,6 +643,9 @@ def main() -> None:
                 # protocol v6: warm >= cold per leg (see leg-mode comment)
                 and (c_4n <= 0 or w_4n >= c_4n)
                 and (c_n <= 0 or w_n >= c_n)
+                # protocol v7: in-leg fault-service samples (see leg mode)
+                and (not inleg_4n or min(inleg_4n) >= gate_inleg)
+                and (not inleg_n or min(inleg_n) >= gate_inleg)
             )
             if clean:
                 clean_n.append(w_n)
@@ -584,6 +659,8 @@ def main() -> None:
                 "turns_per_sec_4N": round(w_4n, 1),
                 "turns_per_sec_N_coldrun": round(c_n, 1),
                 "turns_per_sec_4N_coldrun": round(c_4n, 1),
+                "inleg_fault_mbps_N": inleg_n,
+                "inleg_fault_mbps_4N": inleg_4n,
                 "eff": round(w_4n / (4 * w_n), 3),
                 "clean_recorded": len(clean_n),
             })

@@ -61,6 +61,13 @@ def summarize(path: str) -> dict:
     # bracketing probes per trial precisely so the gate can be re-applied).
     gate_bw = float(cfg["gate_bw_gbps"])
     gate_fault = float(cfg["gate_fault_mbps"])
+    # protocol v7 (in-leg fault-service sampling): enforced only on events
+    # that recorded samples — earlier events didn't measure mid-leg health
+    # and remain gated by their brackets alone
+    gate_inleg = float(cfg.get("gate_inleg_fault_mbps", 300.0))
+
+    def _inleg_ok(samples: list | None) -> bool:
+        return not samples or min(samples) >= gate_inleg
 
     def _warm_ge_cold(warm: float | None, cold: float | None) -> bool:
         # protocol v6: the recorded warm (2nd) run must not be slower than
@@ -88,6 +95,8 @@ def summarize(path: str) -> dict:
             and _warm_ge_cold(
                 t.get("turns_per_sec_4N"), t.get("turns_per_sec_4N_coldrun")
             )
+            and _inleg_ok(t.get("inleg_fault_mbps_N"))
+            and _inleg_ok(t.get("inleg_fault_mbps_4N"))
         )
 
     def leg_is_clean(t: dict) -> bool:
@@ -101,7 +110,7 @@ def summarize(path: str) -> dict:
             for p in ps
         ) and _warm_ge_cold(
             t.get("turns_per_sec"), t.get("turns_per_sec_coldrun")
-        )
+        ) and _inleg_ok(t.get("inleg_fault_mbps"))
 
     clean = [t for t in trials if is_clean(t)]
     dirty = [t for t in trials if not is_clean(t)]
