@@ -121,9 +121,6 @@ def main() -> None:
     from baguetter_spark.operators.indexer import build_index
     from baguetter_spark.operators.search import score_queries
 
-    timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-
     # --- unmeasured warm-up: JVM codegen, Python worker pool, allocator ----
     # A long-lived cluster executor is warm; cold-start is not what the
     # headline measures.  This matters doubly on this sandbox, where first
@@ -149,74 +146,106 @@ def main() -> None:
     warm_idx.vocab.unpersist()
     log(f"warm-up build+search (unmeasured): {time.time()-t0:.1f}s")
 
-    # --- q1: index build over the driver's documents table -----------------
-    t0 = time.time()
-    cfg_docs = SparseIndexConfig(preprocessor=GATE_PREPROCESSOR)
-    idx_docs = build_index(spark, documents_as_transcripts(spark, sf_dir), cfg_docs)
-    n_blocks = idx_docs.postings.count()
-    idx_docs.doc_map.count()  # materialize the full index (doc_map is lazy now)
-    timings["index_build_documents"] = time.time() - t0
-    log(f"documents index: {idx_docs.n_docs} docs, {idx_docs.total_postings} postings, {n_blocks} blocks")
+    def run_suite() -> tuple[dict[str, float], dict[str, float]]:
+        """One full pass over the headline queries.  Every index is
+        unpersisted and the cache cleared at the end so a later rep redoes
+        identical work from the parquet scans."""
+        timings: dict[str, float] = {}
+        extras: dict[str, float] = {}
 
-    # --- q2: index build over synthetic transcripts (full pipeline) --------
-    tpath = get_transcripts_path()
-    transcripts = spark.read.parquet(tpath)
-    t0 = time.time()
-    cfg_tr = SparseIndexConfig(preprocessor=TextPreprocessorConfig())  # stem+stopwords
-    idx_tr = build_index(spark, transcripts, cfg_tr)
-    idx_tr.postings.count()
-    idx_tr.doc_map.count()
-    dt = time.time() - t0
-    timings["index_build_transcripts"] = dt
-    extras["turns_per_sec"] = round(N_TURNS / dt, 1)
-    extras["n_turns"] = N_TURNS
-    log(f"transcripts index: {idx_tr.n_docs} docs, {idx_tr.total_postings} postings, {extras['turns_per_sec']} turns/s")
+        # --- q1: index build over the driver's documents table -------------
+        t0 = time.time()
+        cfg_docs = SparseIndexConfig(preprocessor=GATE_PREPROCESSOR)
+        idx_docs = build_index(spark, documents_as_transcripts(spark, sf_dir), cfg_docs)
+        n_blocks = idx_docs.postings.count()
+        idx_docs.doc_map.count()  # materialize the full index (doc_map is lazy now)
+        timings["index_build_documents"] = time.time() - t0
+        log(f"documents index: {idx_docs.n_docs} docs, {idx_docs.total_postings} postings, {n_blocks} blocks")
 
-    # --- q2b: same build through the shuffle-free presorted path ------------
-    t0 = time.time()
-    idx_sorted = build_index(spark, transcripts, cfg_tr, assume_sorted=True)
-    idx_sorted.postings.count()
-    idx_sorted.doc_map.count()
-    dt = time.time() - t0
-    timings["index_build_transcripts_sorted"] = dt
-    extras["turns_per_sec_sorted"] = round(N_TURNS / dt, 1)
-    log(f"sorted-path index: {extras['turns_per_sec_sorted']} turns/s")
+        # --- q2: index build over synthetic transcripts (full pipeline) ----
+        tpath = get_transcripts_path()
+        transcripts = spark.read.parquet(tpath)
+        t0 = time.time()
+        cfg_tr = SparseIndexConfig(preprocessor=TextPreprocessorConfig())  # stem+stopwords
+        idx_tr = build_index(spark, transcripts, cfg_tr)
+        idx_tr.postings.count()
+        idx_tr.doc_map.count()
+        dt = time.time() - t0
+        timings["index_build_transcripts"] = dt
+        extras["turns_per_sec"] = round(N_TURNS / dt, 1)
+        extras["n_turns"] = N_TURNS
+        log(f"transcripts index: {idx_tr.n_docs} docs, {idx_tr.total_postings} postings, {extras['turns_per_sec']} turns/s")
 
-    # --- q3/q4: batch search fast + parity ----------------------------------
-    qpdf = gen_queries(N_QUERIES, seed=5, vocab_size=20_000)
-    qdf = spark.createDataFrame(qpdf)
-    t0 = time.time()
-    n = score_queries(idx_tr, qdf, top_k=TOP_K, parity=False).count()
-    timings["search_fast_100q"] = time.time() - t0
-    extras["queries_per_sec_fast"] = round(N_QUERIES / timings["search_fast_100q"], 2)
-    log(f"fast search: {n} result rows")
+        # --- q2b: same build through the shuffle-free presorted path --------
+        t0 = time.time()
+        idx_sorted = build_index(spark, transcripts, cfg_tr, assume_sorted=True)
+        idx_sorted.postings.count()
+        idx_sorted.doc_map.count()
+        dt = time.time() - t0
+        timings["index_build_transcripts_sorted"] = dt
+        extras["turns_per_sec_sorted"] = round(N_TURNS / dt, 1)
+        log(f"sorted-path index: {extras['turns_per_sec_sorted']} turns/s")
 
-    t0 = time.time()
-    score_queries(idx_tr, qdf, top_k=TOP_K, parity=True).count()
-    timings["search_parity_100q"] = time.time() - t0
+        # --- q3/q4: batch search fast + parity -------------------------------
+        qpdf = gen_queries(N_QUERIES, seed=5, vocab_size=20_000)
+        qdf = spark.createDataFrame(qpdf)
+        t0 = time.time()
+        n = score_queries(idx_tr, qdf, top_k=TOP_K, parity=False).count()
+        timings["search_fast_100q"] = time.time() - t0
+        extras["queries_per_sec_fast"] = round(N_QUERIES / timings["search_fast_100q"], 2)
+        log(f"fast search: {n} result rows")
 
-    # --- q5: rank-safe block-max MaxScore pruned search ---------------------
-    t0 = time.time()
-    score_queries(idx_tr, qdf, top_k=TOP_K, pruned=True).count()
-    timings["search_pruned_100q"] = time.time() - t0
+        t0 = time.time()
+        score_queries(idx_tr, qdf, top_k=TOP_K, parity=True).count()
+        timings["search_parity_100q"] = time.time() - t0
 
-    # --- q6: BMX build + search over the documents table --------------------
-    from baguetter_spark.operators.bmx import bmx_score_queries, build_bmx_index
+        # --- q5: rank-safe block-max MaxScore pruned search ------------------
+        t0 = time.time()
+        score_queries(idx_tr, qdf, top_k=TOP_K, pruned=True).count()
+        timings["search_pruned_100q"] = time.time() - t0
 
-    t0 = time.time()
-    idx_bmx = build_bmx_index(spark, documents_as_transcripts(spark, sf_dir), cfg_docs)
-    idx_bmx.postings.count()
-    timings["bmx_build_documents"] = time.time() - t0
-    t0 = time.time()
-    qdoc = spark.createDataFrame(
-        pd.DataFrame(
-            {"query_id": [f"b{i}" for i in range(20)],
-             "text": ["sort merge join", "fast window scan hash", "group filter value",
-                      "stream batch line", "slow row query"] * 4}
+        # --- q6: BMX build + search over the documents table -----------------
+        from baguetter_spark.operators.bmx import bmx_score_queries, build_bmx_index
+
+        t0 = time.time()
+        idx_bmx = build_bmx_index(spark, documents_as_transcripts(spark, sf_dir), cfg_docs)
+        idx_bmx.postings.count()
+        timings["bmx_build_documents"] = time.time() - t0
+        t0 = time.time()
+        qdoc = spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": [f"b{i}" for i in range(20)],
+                 "text": ["sort merge join", "fast window scan hash", "group filter value",
+                          "stream batch line", "slow row query"] * 4}
+            )
         )
-    )
-    bmx_score_queries(idx_bmx, qdoc, top_k=TOP_K, parity=False).count()
-    timings["bmx_search_20q"] = time.time() - t0
+        bmx_score_queries(idx_bmx, qdoc, top_k=TOP_K, parity=False).count()
+        timings["bmx_search_20q"] = time.time() - t0
+
+        for idx in (idx_docs, idx_tr, idx_sorted):
+            idx.postings.unpersist()
+            idx.doc_map.unpersist()
+            idx.vocab.unpersist()
+        idx_bmx.postings.unpersist()
+        spark.catalog.clearCache()
+        return timings, extras
+
+    # timeit-style repetition: interference on a shared box only ever ADDS
+    # time, so the rep with the smallest total is the least-contaminated
+    # real run (a coherent single pass, not a per-query envelope).  The
+    # per-query minima across reps are also reported, as the tightest
+    # unbiased code-speed estimate (BENCH/BASELINE.md, headline record).
+    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    best: tuple[dict[str, float], dict[str, float]] | None = None
+    env_min: dict[str, float] = {}
+    for rep in range(reps):
+        timings, extras = run_suite()
+        log(f"rep {rep + 1}/{reps}: total {sum(timings.values()):.1f}s")
+        for k, v in timings.items():
+            env_min[k] = min(env_min.get(k, v), v)
+        if best is None or sum(timings.values()) < sum(best[0].values()):
+            best = (timings, extras)
+    timings, extras = best
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -227,6 +256,9 @@ def main() -> None:
         "sf": sf,
         **extras,
     }
+    if reps > 1:
+        out["reps"] = reps
+        out["queries_min_envelope"] = {k: round(v, 3) for k, v in env_min.items()}
     if probe_pre is not None:
         out["probe_pre"] = probe_pre
         # bracketing post-probe: pre alone cannot see interference that

@@ -32,12 +32,17 @@ from bench_scaling import DEFAULT_GATE_BW, DEFAULT_GATE_FAULT, probes  # noqa: E
 def run_bench() -> dict | None:
     """One bench.py run (local[$SPARK_GRAFT_CPUS], sf $SPARK_GRAFT_SF_DIR);
     returns the parsed result line, or None on failure."""
+    # gated runs are already probe-bracketed and window-scarce: one rep
+    # per run keeps a clean window cheap (bench.py's default 2 reps serve
+    # the driver's ungated per-round record)
+    env = dict(os.environ, BENCH_REPS="1", BENCH_WAIT_CLEAN_SECONDS="0")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
         text=True,
         cwd=REPO,
         timeout=1800,
+        env=env,
     )
     if proc.returncode != 0:
         return None
