@@ -39,8 +39,10 @@ class TextPreprocessorConfig:
     (published light/confix algorithms; see each module's docstring) —
     plus the non-Snowball algorithms "porter", "lancaster", "cistem",
     "isri" (Taghva et al. 2005 root extraction), "arlstem" / "arlstem2"
-    (Abainia et al. light stemmer), or None — every reference registry
-    entry except "krovetz", which needs its dictionary-backed C library
+    (Abainia et al. light stemmer), "krovetz" (dictionary-less KStem
+    projection — derivational steps are lexicon-gated restore-on-miss in
+    the published algorithm, so offline they are identity; see
+    functions/kstem.py), or None — every reference registry entry
     (see functions/isri.py and functions/arlstem.py provenance notes).
     ``stopwords`` supports "english" (vendored nltk list), a set, or
     None.  ``do_diacritics_normalization`` (engine extension, default off —

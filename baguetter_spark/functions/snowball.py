@@ -402,12 +402,20 @@ def get_stemmer(name: str | None):
         from baguetter_spark.functions.arlstem import stem2 as stem_arlstem2
 
         return stem_arlstem2
+    if n in ("krovetz", "kstem"):
+        # Dictionary-less projection of KStem: the derivational steps are
+        # lexicon-gated in the published algorithm (restore-on-miss), so
+        # with no lexicon the inflectional cascade IS the algorithm; see
+        # functions/kstem.py module doc for the documented divergences.
+        from baguetter_spark.functions.kstem import stem as stem_kstem
+
+        return stem_kstem
     msg = (
         f"Stemmer {name!r} not supported offline (vendored: english, german, "
         f"french, spanish, russian, portuguese, italian, dutch, swedish, "
         f"norwegian, danish, romanian, finnish, hungarian, indonesian, "
         f"hindi, turkish, arabic, catalan, nepali, irish, lithuanian, "
         f"basque, greek, tamil, porter, lancaster, cistem, isri, arlstem, "
-        f"arlstem2; 'krovetz' needs its dictionary-backed C library)."
+        f"arlstem2, krovetz)."
     )
     raise ValueError(msg)

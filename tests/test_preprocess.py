@@ -1283,3 +1283,61 @@ def test_arlstem2_particle_prefix():
     assert st2("فللكتاب") == "كتاب"     # v2: particle ف + article لل
     for w, e in ARLSTEM_GOLDENS:
         assert st2(w) == st1(w), (w, st2(w), st1(w))
+
+
+# Krovetz/KStem: dictionary-less projection (see functions/kstem.py module
+# doc — derivational steps are lexicon-gated restore-on-miss in the
+# published algorithm, so offline they are identity; the inflectional
+# cascade's default branches are implemented).  Goldens hand-traced through
+# THOSE rules; rows marked "diverges" differ from lexicon-KStem by design.
+KSTEM_GOLDENS = [
+    # plural
+    ("policies", "policy"), ("queries", "query"), ("ties", "tie"),
+    ("dies", "die"), ("classes", "class"), ("boxes", "box"),
+    ("tables", "table"), ("indexes", "index"), ("cats", "cat"),
+    ("glass", "glass"), ("bus", "bus"), ("basis", "basis"),
+    ("was", "was"), ("gas", "gas"),
+    # past tense
+    ("applied", "apply"), ("died", "die"), ("agreed", "agree"),
+    ("feed", "feed"), ("speed", "speed"), ("dropped", "drop"),
+    ("hoped", "hope"), ("burned", "burn"), ("called", "call"),
+    ("fitted", "fit"), ("fixed", "fix"), ("used", "use"),
+    ("passed", "pass"), ("occurred", "occur"), ("embedded", "embed"),
+    ("shed", "shed"), ("fled", "fled"), ("stemmed", "stem"),
+    # aspect
+    ("running", "run"), ("falling", "fall"), ("making", "make"),
+    ("meeting", "meet"), ("hoping", "hope"), ("singing", "sing"),
+    ("sing", "sing"), ("bring", "bring"), ("king", "king"),
+    ("visiting", "visit"), ("coming", "come"), ("dying", "die"),
+    ("lying", "lie"), ("trying", "try"), ("doing", "do"),
+    ("going", "go"), ("searching", "search"), ("indexing", "index"),
+    ("stemming", "stem"),
+    # derivational endings pass through (lexicon-gated -> identity offline)
+    ("ability", "ability"), ("happiness", "happiness"),
+    ("nation", "nation"), ("quickly", "quickly"),
+    # documented divergences from lexicon-KStem (dictionary-only decisions)
+    ("goes", "goe"), ("movies", "movy"), ("fascinating", "fascinat"),
+    ("using", "us"), ("added", "ad"),
+    # non-alpha / short tokens pass through
+    ("a", "a"), ("red", "red"), ("bm25", "bm25"),
+]
+
+
+def test_krovetz_stemmer_goldens():
+    from baguetter_spark.functions.snowball import get_stemmer
+
+    st = get_stemmer("krovetz")
+    assert get_stemmer("kstem") is st
+    for w, e in KSTEM_GOLDENS:
+        assert st(w) == e, (w, st(w), e)
+
+
+def test_krovetz_registered_in_config():
+    """The reference registry's last entry resolves offline (stemmer.py:16)."""
+    from baguetter_spark.config import TextPreprocessorConfig
+    from baguetter_spark.functions.preprocess import make_processor
+
+    cfg = TextPreprocessorConfig(stemmer="krovetz", stopwords=None)
+    assert make_processor(cfg)("running dogs dropped policies") == [
+        "run", "dog", "drop", "policy",
+    ]
