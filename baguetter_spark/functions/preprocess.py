@@ -112,6 +112,30 @@ _GREEK = str.maketrans(
      **{k.upper(): v.capitalize() for k, v in _GREEK_LOWER.items() if k != "ς"}}
 )
 
+# Arabic -> Latin romanization (ALA-LC style letters-only, public standard;
+# ASCII-folded: emphatics merge with their plain counterparts, ayn/hamza
+# drop — right for token matching, same tradeoff as the Cyrillic table).
+# Arabic base letters are NOT combining marks so they survive the NFKD
+# strip; the short-vowel harakat ARE combining marks and are stripped
+# before this table applies (so only consonants + long vowels romanize,
+# which matches how the script is actually written).  Presentation-form
+# ligatures (ﻻ etc.) decompose under NFKD into these base letters first.
+_ARABIC = str.maketrans(
+    {"ا": "a", "أ": "a", "إ": "i", "آ": "a", "ء": "", "ؤ": "u", "ئ": "i",
+     "ب": "b", "ت": "t", "ث": "th", "ج": "j", "ح": "h", "خ": "kh",
+     "د": "d", "ذ": "dh", "ر": "r", "ز": "z", "س": "s", "ش": "sh",
+     "ص": "s", "ض": "d", "ط": "t", "ظ": "z", "ع": "", "غ": "gh",
+     "ف": "f", "ق": "q", "ك": "k", "ل": "l", "م": "m", "ن": "n",
+     "ه": "h", "ة": "h", "و": "w", "ي": "y", "ى": "a",
+     # Persian/Urdu extensions sharing the block
+     "پ": "p", "چ": "ch", "ژ": "zh", "گ": "g", "ک": "k", "ی": "y",
+     # Arabic-Indic digits (unidecode also folds these)
+     "٠": "0", "١": "1", "٢": "2", "٣": "3", "٤": "4", "٥": "5",
+     "٦": "6", "٧": "7", "٨": "8", "٩": "9",
+     "۰": "0", "۱": "1", "۲": "2", "۳": "3", "۴": "4", "۵": "5",
+     "۶": "6", "۷": "7", "۸": "8", "۹": "9"}
+)
+
 
 # --- individual steps (exact reference I/O; tested against the reference's
 # own goldens, tests/.../text_normalization_test.py:7-31) ---
@@ -146,10 +170,13 @@ def normalize_diacritics(text: str) -> str:
     normalization.py:46-56, which uses unidecode).  Offline substitute:
     NFKD decomposition + combining-mark strip (exact for Latin diacritics:
     é→e, ü→u, ñ→n), a small table for non-decomposable Latin letters
-    (ß→ss, œ→oe, ...), GOST-style Cyrillic romanization (Москва→Moskva) and
-    ELOT-style Greek romanization (Ελλάδα→Ellada).  Other non-Latin scripts
-    (CJK, Arabic, ...) pass through unchanged (unidecode would
-    transliterate them — documented divergence)."""
+    (ß→ss, œ→oe, ...), GOST-style Cyrillic romanization (Москва→Moskva),
+    ELOT-style Greek romanization (Ελλάδα→Ellada) and ALA-LC-style Arabic
+    letter romanization (كتاب→ktab, harakat stripped as combining marks).
+    Other non-Latin scripts (CJK, Indic abugidas, ...) pass through
+    unchanged (unidecode would transliterate them — documented
+    divergence; abugida inherent-vowel handling needs a contextual pass,
+    not a character map)."""
     import unicodedata
 
     text = text.translate(_DIACRITIC_EXTRA)
@@ -159,7 +186,7 @@ def normalize_diacritics(text: str) -> str:
     # AFTER the strip: й/ё decompose under NFKD (и+breve / е+diaeresis) and
     # ά/ή likewise, so romanizing the stripped base letters covers composed
     # and decomposed input identically
-    return text.translate(_CYRILLIC).translate(_GREEK)
+    return text.translate(_CYRILLIC).translate(_GREEK).translate(_ARABIC)
 
 
 def _resolve(cfg: TextPreprocessorConfig):

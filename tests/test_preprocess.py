@@ -1341,3 +1341,32 @@ def test_krovetz_registered_in_config():
     assert make_processor(cfg)("running dogs dropped policies") == [
         "run", "dog", "drop", "policy",
     ]
+
+
+def test_arabic_transliteration():
+    from baguetter_spark.config import TextPreprocessorConfig
+    from baguetter_spark.functions.preprocess import (
+        make_processor,
+        normalize_diacritics,
+    )
+
+    # ALA-LC letters-only conventions (see _ARABIC table): emphatics merge
+    # with plain counterparts, ayn/hamza drop, ta marbuta -> h
+    assert normalize_diacritics("كتاب") == "ktab"
+    assert normalize_diacritics("سلام") == "slam"
+    assert normalize_diacritics("القاهرة") == "alqahrh"
+    # harakat + shadda are combining marks: stripped before the table, so
+    # vocalized and unvocalized spellings romanize identically
+    assert normalize_diacritics("مُحَمَّد") == normalize_diacritics("محمد") == "mhmd"
+    # presentation-form lam-alef ligature decomposes under NFKD first
+    assert normalize_diacritics("ﻻ") == "la"
+    # Arabic-Indic and extended digits fold to ASCII
+    assert normalize_diacritics("١٢٣ ۴۵") == "123 45"
+    # Persian extensions
+    assert normalize_diacritics("پچ ژ گ") == "pch zh g"
+    cfg = TextPreprocessorConfig(
+        stemmer=None, stopwords=None, do_diacritics_normalization=True,
+        do_ampersand_normalization=False, do_special_chars_normalization=False,
+        do_acronyms_normalization=False, do_punctuation_removal=False,
+    )
+    assert make_processor(cfg)("كتاب سلام") == ["ktab", "slam"]
