@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import re
 import string
+import unicodedata
 from collections.abc import Callable
 from dataclasses import replace
 from typing import TYPE_CHECKING, Iterator
@@ -136,6 +137,96 @@ _ARABIC = str.maketrans(
      "۶": "6", "۷": "7", "۸": "8", "۹": "9"}
 )
 
+# Devanagari -> Latin (ISO 15919-style, ASCII-folded).  An abugida cannot
+# be romanized by a character map: each consonant carries an inherent "a"
+# that is written only when no virama/matra follows, and dropped word-
+# finally (Hindi schwa deletion).  So this is a small CONTEXTUAL pass,
+# run BEFORE the NFKD strip (matras/anusvara are combining marks and
+# would be stripped; nukta consonants must still be composed).
+_DEVA_CONSONANTS = {
+    "क": "k", "ख": "kh", "ग": "g", "घ": "gh", "ङ": "n",
+    "च": "ch", "छ": "chh", "ज": "j", "झ": "jh", "ञ": "n",
+    "ट": "t", "ठ": "th", "ड": "d", "ढ": "dh", "ण": "n",
+    "त": "t", "थ": "th", "द": "d", "ध": "dh", "न": "n",
+    "प": "p", "फ": "ph", "ब": "b", "भ": "bh", "म": "m",
+    "य": "y", "र": "r", "ल": "l", "व": "v",
+    "श": "sh", "ष": "sh", "स": "s", "ह": "h",
+    # nukta (precomposed) Perso-Arabic loan consonants
+    "क़": "q", "ख़": "kh", "ग़": "gh", "ज़": "z", "झ़": "zh",
+    "ड़": "r", "ढ़": "rh", "फ़": "f", "य़": "y",
+}
+_DEVA_VOWELS = {  # independent vowels
+    "अ": "a", "आ": "a", "इ": "i", "ई": "i", "उ": "u", "ऊ": "u",
+    "ऋ": "ri", "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au",
+    "ऍ": "e", "ऑ": "o",
+}
+_DEVA_MATRAS = {  # dependent vowel signs (combining)
+    "ा": "a", "ि": "i", "ी": "i", "ु": "u", "ू": "u", "ृ": "ri",
+    "े": "e", "ै": "ai", "ो": "o", "ौ": "au", "ॅ": "e", "ॉ": "o",
+}
+_DEVA_SIGNS = {"ं": "n", "ँ": "n", "ः": "h", "ऽ": "", "़": ""}
+_DEVA_DIGITS = {chr(0x0966 + i): str(i) for i in range(10)}
+_DEVA_VIRAMA = "्"
+
+
+# decomposed nukta sequences (base consonant + U+093C) — U+0958..095F are
+# composition EXCLUSIONS, so NFC does not recompose them; match the
+# two-char sequence explicitly
+_DEVA_NUKTA_SEQ = {
+    k[0] + "़": v
+    for k, v in _DEVA_CONSONANTS.items()
+    if len(k) == 2 and k[1] == "़"
+}
+# precomposed U+0958..095F forms decompose to exactly those sequences
+_DEVA_CONSONANTS.update({
+    chr(cp): _DEVA_NUKTA_SEQ[seq]
+    for cp in range(0x0958, 0x0960)
+    if (seq := unicodedata.normalize("NFD", chr(cp))) in _DEVA_NUKTA_SEQ
+})
+
+
+def _devanagari_translit(text: str) -> str:
+    """Contextual Devanagari romanization: a consonant gets its inherent
+    "a" only when the next char is neither virama, matra, nor a word/run
+    boundary (नमस्ते→namaste, दिल्ली→dilli, भारत→bharat, हिंदी→hindi).
+    Anusvara is always "n" (letters-only ASCII: no place-of-articulation
+    assimilation, मुंबई→munbai not mumbai — documented divergence)."""
+    out: list[str] = []
+    n = len(text)
+    i = 0
+    while i < n:
+        ch = text[i]
+        cons = None
+        if i + 1 < n and text[i + 1] == "़":
+            cons = _DEVA_NUKTA_SEQ.get(ch + "़")
+            if cons is not None:
+                i += 1  # consume the nukta with its base
+        if cons is None:
+            cons = _DEVA_CONSONANTS.get(ch)
+        if cons is not None:
+            out.append(cons)
+            nxt = text[i + 1] if i + 1 < n else ""
+            if (
+                nxt not in _DEVA_MATRAS
+                and nxt != _DEVA_VIRAMA
+                and nxt != "़"
+                and (nxt in _DEVA_CONSONANTS or nxt in _DEVA_VOWELS
+                     or nxt in _DEVA_SIGNS or nxt in _DEVA_DIGITS)
+            ):
+                out.append("a")
+            i += 1
+            continue
+        for table in (_DEVA_VOWELS, _DEVA_MATRAS, _DEVA_SIGNS, _DEVA_DIGITS):
+            mapped = table.get(ch)
+            if mapped is not None:
+                out.append(mapped)
+                break
+        else:
+            if ch != _DEVA_VIRAMA:
+                out.append(ch)
+        i += 1
+    return "".join(out)
+
 
 # --- individual steps (exact reference I/O; tested against the reference's
 # own goldens, tests/.../text_normalization_test.py:7-31) ---
@@ -177,9 +268,11 @@ def normalize_diacritics(text: str) -> str:
     unchanged (unidecode would transliterate them — documented
     divergence; abugida inherent-vowel handling needs a contextual pass,
     not a character map)."""
-    import unicodedata
-
     text = text.translate(_DIACRITIC_EXTRA)
+    if any("ऀ" <= c <= "ॿ" for c in text):
+        # before the strip: matras/anusvara are combining marks and the
+        # inherent-vowel logic needs them (and the virama) in place
+        text = _devanagari_translit(text)
     text = "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )

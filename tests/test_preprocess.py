@@ -1370,3 +1370,29 @@ def test_arabic_transliteration():
         do_acronyms_normalization=False, do_punctuation_removal=False,
     )
     assert make_processor(cfg)("كتاب سلام") == ["ktab", "slam"]
+
+
+def test_devanagari_transliteration():
+    from baguetter_spark.functions.preprocess import normalize_diacritics as nd
+
+    # contextual inherent-vowel handling (abugida): virama suppresses the
+    # "a", matras replace it, word-final schwa deletes
+    assert nd("नमस्ते") == "namaste"
+    assert nd("दिल्ली") == "dilli"
+    assert nd("भारत") == "bharat"
+    assert nd("हिंदी") == "hindi"      # anusvara -> n
+    assert nd("गंगा") == "ganga"
+    assert nd("कृष्ण") == "krishn"     # vocalic r matra -> ri
+    assert nd("क्या") == "kya"
+    # anusvara is always n (no place assimilation) — documented divergence
+    assert nd("मुंबई") == "munbai"
+    # nukta loan consonants: precomposed and decomposed forms identical
+    import unicodedata as _ud
+
+    composed = "ज़िला"
+    decomposed = _ud.normalize("NFD", composed)
+    assert nd(composed) == nd(decomposed) == "zila"
+    # Devanagari digits fold
+    assert nd("०१२") == "012"
+    # mixed scripts romanize independently
+    assert nd("Hindi हिंदी café Москва") == "Hindi hindi cafe Moskva"
