@@ -228,6 +228,106 @@ def _devanagari_translit(text: str) -> str:
     return "".join(out)
 
 
+# Hangul -> Latin (Revised Romanization of Korean, letters-only).  Unlike
+# CJK ideographs this is fully ALGORITHMIC: a precomposed syllable in
+# U+AC00..D7A3 decomposes arithmetically into (initial, medial, final)
+# jamo, each with a fixed RR spelling — so the romanization is exact,
+# not approximated (한국→hanguk, 서울→seoul, 김치→gimchi).
+_RR_INITIALS = ("g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss",
+                "", "j", "jj", "ch", "k", "t", "p", "h")
+_RR_MEDIALS = ("a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa",
+               "wae", "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui",
+               "i")
+# codas use RR's pronunciation values (unreleased stops: ㄱ→k, ㄷ→t,
+# ㅂ→p; compound codas reduce as pronounced in isolation: ㄺ→k, ㄻ→m,
+# ㄼ→l).  Linking across syllables (한국이→hangugi) is contextual
+# phonology this per-syllable map does not model — documented.
+_RR_FINALS = ("", "k", "k", "k", "n", "n", "n", "t", "l", "k", "m",
+              "l", "l", "l", "p", "l", "m", "p", "p", "t", "t",
+              "ng", "t", "t", "k", "t", "p", "t")
+
+
+def _hangul_translit(text: str) -> str:
+    out: list[str] = []
+    for ch in text:
+        cp = ord(ch)
+        if 0xAC00 <= cp <= 0xD7A3:
+            idx = cp - 0xAC00
+            out.append(_RR_INITIALS[idx // 588])
+            out.append(_RR_MEDIALS[(idx % 588) // 28])
+            out.append(_RR_FINALS[idx % 28])
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# Japanese kana -> Latin (Hepburn-style letters-only).  Kana are a
+# syllabary, so a near-character map suffices, with three contextual
+# rules: small ya/yu/yo merge with a preceding i-row syllable (きゃ→kya),
+# sokuon っ doubles the next consonant (がっこう→gakkou), and the chōonpu
+# ー repeats the previous vowel (ラーメン→raamen).  Long vowels stay
+# spelled out (とうきょう→toukyou, not tōkyō) — letters-only ASCII.
+# Kanji (CJK ideographs) remain the documented pass-through gap.
+_KANA = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "を": "o", "ん": "n",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o", "ゔ": "vu",
+}
+# katakana block is a fixed +0x60 offset from hiragana for the shared rows
+_KANA.update({chr(ord(k) + 0x60): v for k, v in list(_KANA.items())})
+_KANA_SMALL_Y = {"ゃ": "ya", "ゅ": "yu", "ょ": "yo",
+                 "ャ": "ya", "ュ": "yu", "ョ": "yo"}
+_KANA_SOKUON = {"っ", "ッ"}
+_VOWEL_SET = frozenset("aeiou")
+
+
+def _kana_translit(text: str) -> str:
+    out: list[str] = []
+    pending_double = False
+    for ch in text:
+        if ch in _KANA_SOKUON:
+            pending_double = True
+            continue
+        small = _KANA_SMALL_Y.get(ch)
+        if small is not None and out and out[-1].endswith("i"):
+            base = out[-1][:-1]
+            # sh/ch/j keep their spelling (しゃ→sha, ちゃ→cha, じゃ→ja)
+            if base.endswith(("sh", "ch", "j")):
+                out[-1] = base + small[1:]
+            else:
+                out[-1] = base + small
+            continue
+        if ch == "ー" and out:
+            tail = out[-1][-1] if out[-1] else ""
+            if tail in _VOWEL_SET:
+                out.append(tail)
+            continue
+        mapped = _KANA.get(ch) or small
+        if mapped is None:
+            out.append(ch)
+            pending_double = False
+            continue
+        if pending_double and mapped[0] not in _VOWEL_SET:
+            # Hepburn: doubled ch is tch (まっちゃ→matcha)
+            out.append("t" if mapped.startswith("ch") else mapped[0])
+        pending_double = False
+        out.append(mapped)
+    return "".join(out)
+
+
 # --- individual steps (exact reference I/O; tested against the reference's
 # own goldens, tests/.../text_normalization_test.py:7-31) ---
 
@@ -262,17 +362,25 @@ def normalize_diacritics(text: str) -> str:
     NFKD decomposition + combining-mark strip (exact for Latin diacritics:
     é→e, ü→u, ñ→n), a small table for non-decomposable Latin letters
     (ß→ss, œ→oe, ...), GOST-style Cyrillic romanization (Москва→Moskva),
-    ELOT-style Greek romanization (Ελλάδα→Ellada) and ALA-LC-style Arabic
-    letter romanization (كتاب→ktab, harakat stripped as combining marks).
-    Other non-Latin scripts (CJK, Indic abugidas, ...) pass through
-    unchanged (unidecode would transliterate them — documented
-    divergence; abugida inherent-vowel handling needs a contextual pass,
-    not a character map)."""
+    ELOT-style Greek romanization (Ελλάδα→Ellada), ALA-LC-style Arabic
+    letter romanization (كتاب→ktab, harakat stripped as combining marks),
+    a contextual Devanagari pass (नमस्ते→namaste), exact algorithmic
+    Hangul Revised Romanization (한국→hanguk) and Hepburn-style kana
+    (すし→sushi).  CJK ideographs (kanji/hanzi) pass through unchanged
+    (unidecode's pinyin tables are the documented remaining gap)."""
     text = text.translate(_DIACRITIC_EXTRA)
     if any("ऀ" <= c <= "ॿ" for c in text):
         # before the strip: matras/anusvara are combining marks and the
         # inherent-vowel logic needs them (and the virama) in place
         text = _devanagari_translit(text)
+    if any("가" <= c <= "힣" for c in text):
+        # before the strip: NFD decomposes syllables into jamo, losing the
+        # precomposed codepoint the arithmetic decomposition needs
+        text = _hangul_translit(text)
+    if any("぀" <= c <= "ヿ" for c in text):
+        # NFC first: decomposed dakuten (か + U+3099) must recompose to が
+        # before the map; then the pass, before NFKD strips the marks
+        text = _kana_translit(unicodedata.normalize("NFC", text))
     text = "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )

@@ -1396,3 +1396,37 @@ def test_devanagari_transliteration():
     assert nd("०१२") == "012"
     # mixed scripts romanize independently
     assert nd("Hindi हिंदी café Москва") == "Hindi hindi cafe Moskva"
+
+
+def test_hangul_transliteration():
+    from baguetter_spark.functions.preprocess import normalize_diacritics as nd
+
+    # Revised Romanization via arithmetic jamo decomposition — exact per
+    # syllable; codas use RR's unreleased-stop values
+    assert nd("한국") == "hanguk"
+    assert nd("서울") == "seoul"
+    assert nd("김치") == "gimchi"
+    assert nd("안녕하세요") == "annyeonghaseyo"
+    assert nd("평양") == "pyeongyang"
+    assert nd("삶") == "sam"   # compound coda ㄻ -> m as pronounced
+    assert nd("옷") == "ot"    # coda ㅅ -> t (unreleased)
+
+
+def test_kana_transliteration():
+    import unicodedata as _ud
+
+    from baguetter_spark.functions.preprocess import normalize_diacritics as nd
+
+    assert nd("すし") == "sushi"
+    assert nd("にほん") == "nihon"
+    assert nd("とうきょう") == "toukyou"   # long vowels spelled out
+    assert nd("がっこう") == "gakkou"      # sokuon doubles the consonant
+    assert nd("まっちゃ") == "matcha"      # doubled ch is tch (Hepburn)
+    assert nd("じゃぱん") == "japan"       # j keeps its spelling with small ya
+    assert nd("しゃしん") == "shashin"     # sh likewise
+    assert nd("ラーメン") == "raamen"      # chōonpu repeats the vowel
+    assert nd("ニッポン") == "nippon"      # katakana, same rules
+    # decomposed dakuten (か + U+3099) recomposes before the map
+    assert nd(_ud.normalize("NFD", "がっこう")) == "gakkou"
+    # kanji passes through (documented gap)
+    assert nd("日本の すし") == "日本no sushi"
