@@ -159,10 +159,15 @@ _DEVA_VOWELS = {  # independent vowels
     "अ": "a", "आ": "a", "इ": "i", "ई": "i", "उ": "u", "ऊ": "u",
     "ऋ": "ri", "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au",
     "ऍ": "e", "ऑ": "o",
+    # short e/o (unused in Hindi but their offsets carry the South-Indian
+    # blocks' plain e/o: Tamil எ, Telugu ఎ, ...)
+    "ऎ": "e", "ऒ": "o",
 }
 _DEVA_MATRAS = {  # dependent vowel signs (combining)
     "ा": "a", "ि": "i", "ी": "i", "ु": "u", "ू": "u", "ृ": "ri",
     "े": "e", "ै": "ai", "ो": "o", "ौ": "au", "ॅ": "e", "ॉ": "o",
+    # short e/o matras — carry the South-Indian blocks' plain e/o signs
+    "ॆ": "e", "ॊ": "o",
 }
 _DEVA_SIGNS = {"ं": "n", "ँ": "n", "ः": "h", "ऽ": "", "़": ""}
 _DEVA_DIGITS = {chr(0x0966 + i): str(i) for i in range(10)}
@@ -185,44 +190,115 @@ _DEVA_CONSONANTS.update({
 })
 
 
-def _devanagari_translit(text: str) -> str:
-    """Contextual Devanagari romanization: a consonant gets its inherent
-    "a" only when the next char is neither virama, matra, nor a word/run
-    boundary (नमस्ते→namaste, दिल्ली→dilli, भारत→bharat, हिंदी→hindi).
-    Anusvara is always "n" (letters-only ASCII: no place-of-articulation
-    assimilation, मुंबई→munbai not mumbai — documented divergence)."""
+# The other eight Indic abugida blocks are laid out PARALLEL to Devanagari
+# (ISCII heritage: U+0980 Bengali, U+0A00 Gurmukhi, U+0A80 Gujarati,
+# U+0B00 Oriya, U+0B80 Tamil, U+0C00 Telugu, U+0C80 Kannada, U+0D00
+# Malayalam — same in-block offset per consonant/vowel/matra/virama), so
+# their tables derive from the Devanagari ones by codepoint shift, plus
+# small per-script overrides for letters Devanagari lacks (Tamil ழ/ள/ற/ன,
+# Malayalam chillus, Bengali ড়/ঢ়/য়, ...).
+_INDIC_BLOCK_OVERRIDES: dict[int, dict[str, str]] = {
+    0x0900: {},  # Devanagari — the base tables themselves
+    0x0980: {"ড়": "r", "ঢ়": "rh", "য়": "y", "ৰ": "r", "ৱ": "v"},
+    0x0A00: {"ੜ": "r", "ਸ਼": "sh", "ਖ਼": "kh", "ਗ਼": "gh", "ਜ਼": "z",
+             "ਫ਼": "f", "ਲ਼": "l"},
+    0x0A80: {"ળ": "l"},
+    0x0B00: {"ଳ": "l", "ଡ଼": "r", "ଢ଼": "rh", "ୟ": "y", "ୱ": "w"},
+    0x0B80: {"ழ": "zh", "ள": "l", "ற": "r", "ன": "n"},
+    0x0C00: {"ళ": "l", "ఱ": "r"},
+    0x0C80: {"ಳ": "l", "ಱ": "r"},
+    0x0D00: {"ള": "l", "ഴ": "zh", "റ": "r",
+             # chillu letters (bare consonants, no inherent vowel risk:
+             # they sit outside the consonant table on purpose — mapped
+             # as signs so no "a" is appended after them)
+             },
+}
+# bare-consonant signs (no inherent vowel): Malayalam chillus, Bengali
+# khanda-ta, Gurmukhi tippi (nasal "n") and addak (dropped, like the
+# anusvara convention)
+_INDIC_SIGN_OVERRIDES = {"ൺ": "n", "ൻ": "n", "ർ": "r", "ൽ": "l", "ൾ": "l",
+                         "ൿ": "k", "ৎ": "t", "ੰ": "n", "ੱ": ""}
+
+
+def _build_indic_tables() -> tuple:
+    cons: dict[str, str] = {}
+    vowels: dict[str, str] = {}
+    matras: dict[str, str] = {}
+    signs: dict[str, str] = {}
+    digits: dict[str, str] = {}
+    viramas: set[str] = set()
+    nuktas: set[str] = set()
+    nukta_seq: dict[str, str] = {}
+    for base, overrides in _INDIC_BLOCK_OVERRIDES.items():
+        shift = base - 0x0900
+
+        def sh(d: dict[str, str]) -> dict[str, str]:
+            return {
+                chr(ord(k) + shift): v for k, v in d.items() if len(k) == 1
+            }
+
+        cons.update(sh(_DEVA_CONSONANTS))
+        cons.update(overrides)
+        vowels.update(sh(_DEVA_VOWELS))
+        matras.update(sh(_DEVA_MATRAS))
+        signs.update(sh(_DEVA_SIGNS))
+        digits.update(sh(_DEVA_DIGITS))
+        viramas.add(chr(0x094D + shift))
+        nukta = chr(0x093C + shift)
+        nuktas.add(nukta)
+        signs[nukta] = ""
+        nukta_seq.update({
+            chr(ord(k[0]) + shift) + nukta: v for k, v in _DEVA_NUKTA_SEQ.items()
+        })
+    signs.update(_INDIC_SIGN_OVERRIDES)
+    return cons, vowels, matras, signs, digits, viramas, nuktas, nukta_seq
+
+
+(_INDIC_CONSONANTS, _INDIC_VOWELS, _INDIC_MATRAS, _INDIC_SIGNS,
+ _INDIC_DIGITS, _INDIC_VIRAMAS, _INDIC_NUKTAS,
+ _INDIC_NUKTA_SEQ) = _build_indic_tables()
+
+
+def _indic_translit(text: str) -> str:
+    """Contextual Indic-abugida romanization (all nine parallel blocks):
+    a consonant gets its inherent "a" only when the next char is neither
+    virama, matra, nor a word/run boundary (नमस्ते→namaste, দিল্লি→dilli,
+    தமிழ்→tamizh, తెలుగు→telugu).  Anusvara is always "n" (letters-only
+    ASCII: no place-of-articulation assimilation, मुंबई→munbai not mumbai
+    — documented divergence)."""
     out: list[str] = []
     n = len(text)
     i = 0
     while i < n:
         ch = text[i]
         cons = None
-        if i + 1 < n and text[i + 1] == "़":
-            cons = _DEVA_NUKTA_SEQ.get(ch + "़")
+        if i + 1 < n and text[i + 1] in _INDIC_NUKTAS:
+            cons = _INDIC_NUKTA_SEQ.get(ch + text[i + 1])
             if cons is not None:
                 i += 1  # consume the nukta with its base
         if cons is None:
-            cons = _DEVA_CONSONANTS.get(ch)
+            cons = _INDIC_CONSONANTS.get(ch)
         if cons is not None:
             out.append(cons)
             nxt = text[i + 1] if i + 1 < n else ""
             if (
-                nxt not in _DEVA_MATRAS
-                and nxt != _DEVA_VIRAMA
-                and nxt != "़"
-                and (nxt in _DEVA_CONSONANTS or nxt in _DEVA_VOWELS
-                     or nxt in _DEVA_SIGNS or nxt in _DEVA_DIGITS)
+                nxt not in _INDIC_MATRAS
+                and nxt not in _INDIC_VIRAMAS
+                and nxt not in _INDIC_NUKTAS
+                and (nxt in _INDIC_CONSONANTS or nxt in _INDIC_VOWELS
+                     or nxt in _INDIC_SIGNS or nxt in _INDIC_DIGITS)
             ):
                 out.append("a")
             i += 1
             continue
-        for table in (_DEVA_VOWELS, _DEVA_MATRAS, _DEVA_SIGNS, _DEVA_DIGITS):
+        for table in (_INDIC_VOWELS, _INDIC_MATRAS, _INDIC_SIGNS,
+                      _INDIC_DIGITS):
             mapped = table.get(ch)
             if mapped is not None:
                 out.append(mapped)
                 break
         else:
-            if ch != _DEVA_VIRAMA:
+            if ch not in _INDIC_VIRAMAS:
                 out.append(ch)
         i += 1
     return "".join(out)
@@ -369,10 +445,10 @@ def normalize_diacritics(text: str) -> str:
     (すし→sushi).  CJK ideographs (kanji/hanzi) pass through unchanged
     (unidecode's pinyin tables are the documented remaining gap)."""
     text = text.translate(_DIACRITIC_EXTRA)
-    if any("ऀ" <= c <= "ॿ" for c in text):
+    if any("ऀ" <= c <= "ൿ" for c in text):
         # before the strip: matras/anusvara are combining marks and the
         # inherent-vowel logic needs them (and the virama) in place
-        text = _devanagari_translit(text)
+        text = _indic_translit(text)
     if any("가" <= c <= "힣" for c in text):
         # before the strip: NFD decomposes syllables into jamo, losing the
         # precomposed codepoint the arithmetic decomposition needs

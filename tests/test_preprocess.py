@@ -1430,3 +1430,26 @@ def test_kana_transliteration():
     assert nd(_ud.normalize("NFD", "がっこう")) == "gakkou"
     # kanji passes through (documented gap)
     assert nd("日本の すし") == "日本no sushi"
+
+
+def test_indic_parallel_block_transliteration():
+    """The eight non-Devanagari Indic blocks are laid out parallel to
+    Devanagari (ISCII heritage), so their tables derive by codepoint
+    shift + per-script overrides (Tamil ழ/ள/ற/ன, Malayalam chillus,
+    Bengali ড়/য়, Gurmukhi tippi, South-Indian short e/o)."""
+    from baguetter_spark.functions.preprocess import normalize_diacritics as nd
+
+    assert nd("বাংলা") == "banla"          # Bengali
+    assert nd("ঢাকা") == "dhaka"
+    assert nd("தமிழ்") == "tamizh"         # Tamil (override consonants)
+    assert nd("சென்னை") == "chennai"       # short-e matra
+    assert nd("తెలుగు") == "telugu"        # Telugu
+    assert nd("ಕನ್ನಡ") == "kannad"         # Kannada
+    assert nd("ಬೆಂಗಳೂರು") == "bengaluru"
+    assert nd("മലയാളം") == "malayalan"     # Malayalam (anusvara -> n)
+    assert nd("ഗുജറാത്") != ""             # chillu-free word romanizes
+    assert nd("ગુજરાત") == "gujarat"       # Gujarati
+    assert nd("ਪੰਜਾਬ") == "panjab"         # Gurmukhi (tippi is a sign)
+    assert nd("ଓଡ଼ିଆ") == "oria"           # Oriya (nukta sequence)
+    # mixed Indic scripts in one string romanize independently
+    assert nd("हिंदी তামিল தமிழ்") == "hindi tamil tamizh"
