@@ -259,6 +259,11 @@ def _build_indic_tables() -> tuple:
  _INDIC_NUKTA_SEQ) = _build_indic_tables()
 
 
+_INDIC_RE = re.compile("[\u0900-\u0d7f]")
+_HANGUL_RE = re.compile("[\uac00-\ud7a3]")
+_KANA_RE = re.compile("[\u3040-\u30ff]")
+
+
 def _indic_translit(text: str) -> str:
     """Contextual Indic-abugida romanization (all nine parallel blocks):
     a consonant gets its inherent "a" only when the next char is neither
@@ -445,15 +450,18 @@ def normalize_diacritics(text: str) -> str:
     (すし→sushi).  CJK ideographs (kanji/hanzi) pass through unchanged
     (unidecode's pinyin tables are the documented remaining gap)."""
     text = text.translate(_DIACRITIC_EXTRA)
-    if any("ऀ" <= c <= "ൿ" for c in text):
+    # C-speed presence probes gate the contextual passes (the passes are
+    # Python loops; Latin-only text — the overwhelming common case at
+    # corpus scale — must skip them on a single regex scan each)
+    if _INDIC_RE.search(text):
         # before the strip: matras/anusvara are combining marks and the
         # inherent-vowel logic needs them (and the virama) in place
         text = _indic_translit(text)
-    if any("가" <= c <= "힣" for c in text):
+    if _HANGUL_RE.search(text):
         # before the strip: NFD decomposes syllables into jamo, losing the
         # precomposed codepoint the arithmetic decomposition needs
         text = _hangul_translit(text)
-    if any("぀" <= c <= "ヿ" for c in text):
+    if _KANA_RE.search(text):
         # NFC first: decomposed dakuten (か + U+3099) must recompose to が
         # before the map; then the pass, before NFKD strips the marks
         text = _kana_translit(unicodedata.normalize("NFC", text))
