@@ -18,7 +18,8 @@ dictionary-less projection of the algorithm:
   have non-dictionary default branches in the published algorithm; those
   defaults are implemented here, with the lexicon checks replaced by the
   deterministic heuristics documented on each function (syllable-count
-  e-restoration, consonant-undoubling with the l/s/z exception).
+  e-restoration, consonant-undoubling with the s/z exception and a
+  syllable-conditional rule for ll).
 
 Consequences, stated honestly: outputs match dictionary-KStem on regular
 inflection (``policies``→``policy``, ``dropped``→``drop``,
@@ -37,10 +38,14 @@ from __future__ import annotations
 _VOWELS = frozenset("aeiou")
 
 # Consonants that stay doubled when undoubling a past/aspect stem:
-# "call"+"ed" -> "called" must return "call", not "cal".  l/s/z doubling is
-# orthographically stable in English ("fall", "pass", "buzz"); other
-# doubled finals arise from the CVC doubling rule ("drop" -> "dropped").
-_KEEP_DOUBLED = frozenset("lsz")
+# "call"+"ed" -> "called" must return "call", not "cal".  s/z doubling is
+# orthographically stable in English ("pass", "buzz"); "ll" is stable in
+# MONOSYLLABIC bases ("call", "spell", "fall") but is CVC doubling in
+# multisyllabic ones ("control" -> "controlled", "cancel", "travel"), so
+# the l rule is syllable-conditional (see _undouble; "install" is the
+# documented casualty).  Other doubled finals always arise from the CVC
+# doubling rule ("drop" -> "dropped").
+_KEEP_DOUBLED = frozenset("sz")
 
 
 def _is_vowel(ch: str, prev: str | None) -> bool:
@@ -85,12 +90,15 @@ def _ends_cvc(word: str) -> bool:
 
 def _undouble(word: str) -> str:
     """Undo CVC consonant doubling: ``dropp`` -> ``drop``; keep stable
-    doubles (``call``, ``pass``, ``buzz``) and vowel pairs intact."""
+    doubles (``pass``, ``buzz``, monosyllabic ``call``/``spell``) and
+    vowel pairs intact; multisyllabic ``ll`` undoubles (``controll`` ->
+    ``control``, ``cancell`` -> ``cancel``)."""
     if (
         len(word) >= 3
         and word[-1] == word[-2]
         and word[-1] not in _VOWELS
         and word[-1] not in _KEEP_DOUBLED
+        and (word[-1] != "l" or _syllables(word[:-1]) >= 2)
     ):
         return word[:-1]
     return word
@@ -125,10 +133,12 @@ def _plural(word: str) -> str:
         return word[:-1]
     if word.endswith("es"):
         if (
-            word.endswith(("sses", "shes", "ches", "xes", "zes"))
+            word.endswith(("sses", "shes", "ches", "xes"))
             and len(word) > 4
         ):
             return word[:-2]
+        # -zes singulars are usually e-final (size, prize) unlike the
+        # sibilant classes above, so only the "s" drops
         if len(word) > 3:
             return word[:-1]
         return word
@@ -155,7 +165,10 @@ def _past(word: str) -> str:
             return word[:-3] + "y"
         return word[:-1]
     if word.endswith("eed"):
-        if _has_vowel(word[:-3]):
+        # Latin-root -ceed verbs (exceed, succeed, proceed) are their own
+        # base form: stripping would split the lexeme across two index
+        # terms (exceed -> "excee" vs exceeded -> "exceed")
+        if _has_vowel(word[:-3]) and not word[:-3].endswith("c"):
             return word[:-1]
         return word
     stem = word[:-2]

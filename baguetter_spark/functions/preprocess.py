@@ -35,16 +35,13 @@ import string
 import unicodedata
 from collections.abc import Callable
 from dataclasses import replace
-from typing import TYPE_CHECKING, Iterator
+from typing import Iterator
 
 import pandas as pd
 
 from baguetter_spark.config import TextPreprocessorConfig
 from baguetter_spark.functions.snowball import get_stemmer
 from baguetter_spark.functions.stopwords import get_stopwords
-
-if TYPE_CHECKING:
-    pass
 
 _SPECIAL_CHARS_TRANS = str.maketrans("‘’´“”–-", "'''\"\"--")  # noqa: RUF001
 _PUNCT_TRANS = str.maketrans(string.punctuation, " " * len(string.punctuation))
@@ -261,7 +258,7 @@ def _build_indic_tables() -> tuple:
 
 _INDIC_RE = re.compile("[\u0900-\u0d7f]")
 _HANGUL_RE = re.compile("[\uac00-\ud7a3]")
-_KANA_RE = re.compile("[\u3040-\u30ff]")
+_KANA_RE = re.compile("[\u3040-\u30ff\uff66-\uff9f]")
 
 
 def _indic_translit(text: str) -> str:
@@ -450,6 +447,12 @@ def normalize_diacritics(text: str) -> str:
     (すし→sushi).  CJK ideographs (kanji/hanzi) pass through unchanged
     (unidecode's pinyin tables are the documented remaining gap)."""
     text = text.translate(_DIACRITIC_EXTRA)
+    if not text.isascii():
+        # NFC first: the contextual passes match composed codepoints
+        # (NFD-decomposed Hangul is all jamo the probe cannot see; an
+        # NFD two-part Tamil/Bengali matra would romanize as two wrong
+        # vowels).  ASCII text skips this on the C-level isascii check.
+        text = unicodedata.normalize("NFC", text)
     # C-speed presence probes gate the contextual passes (the passes are
     # Python loops; Latin-only text — the overwhelming common case at
     # corpus scale — must skip them on a single regex scan each)
@@ -462,9 +465,11 @@ def normalize_diacritics(text: str) -> str:
         # precomposed codepoint the arithmetic decomposition needs
         text = _hangul_translit(text)
     if _KANA_RE.search(text):
-        # NFC first: decomposed dakuten (か + U+3099) must recompose to が
-        # before the map; then the pass, before NFKD strips the marks
-        text = _kana_translit(unicodedata.normalize("NFC", text))
+        # NFKC: folds halfwidth katakana (U+FF66-FF9F, Shift-JIS legacy
+        # data) to the fullwidth block and recomposes decomposed dakuten
+        # (か + U+3099 -> が) — both must happen before the map, and the
+        # map before NFKD strips the voicing marks
+        text = _kana_translit(unicodedata.normalize("NFKC", text))
     text = "".join(
         c for c in unicodedata.normalize("NFKD", text) if not unicodedata.combining(c)
     )
@@ -620,8 +625,6 @@ _LANG_STEMMERS: dict[str, Callable[[str], str] | None] = {}
 def _stemmer_for_lang(lang: str | None) -> Callable[[str], str] | None:
     key = (lang or "").strip().lower()
     if key not in _LANG_STEMMERS:
-        from baguetter_spark.functions.snowball import get_stemmer
-
         try:
             _LANG_STEMMERS[key] = get_stemmer(key) if key else None
         except ValueError:
@@ -649,11 +652,12 @@ def process_series_multilang(
     base_cfg = replace(cfg, stemmer=None)
     toks = process_series(texts, base_cfg)
     out = toks.copy()
-    for lang in langs.fillna("").unique():
+    filled = langs.fillna("")
+    for lang in filled.unique():
         stemmer = _stemmer_for_lang(lang)
         if stemmer is None:
             continue
-        mask = (langs.fillna("") == lang).to_numpy()
+        mask = (filled == lang).to_numpy()
         cache = _STEM_CACHES.setdefault(stemmer, {})
         stemmed = _stem_tokens_cached(toks[mask], stemmer, cache)
         out[mask] = stemmed.map(lambda ts: [t for t in ts if t])  # T10

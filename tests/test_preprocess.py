@@ -1304,6 +1304,12 @@ KSTEM_GOLDENS = [
     ("fitted", "fit"), ("fixed", "fix"), ("used", "use"),
     ("passed", "pass"), ("occurred", "occur"), ("embedded", "embed"),
     ("shed", "shed"), ("fled", "fled"), ("stemmed", "stem"),
+    # multisyllabic ll undoubles; monosyllabic ll is stable
+    ("controlled", "control"), ("cancelled", "cancel"),
+    ("travelled", "travel"), ("compelled", "compel"), ("spelled", "spell"),
+    # -ceed verbs are their own base: lexeme stays on one index term
+    ("exceed", "exceed"), ("exceeded", "exceed"), ("succeeds", "succeed"),
+    ("proceeding", "proceed"),
     # aspect
     ("running", "run"), ("falling", "fall"), ("making", "make"),
     ("meeting", "meet"), ("hoping", "hope"), ("singing", "sing"),
@@ -1315,9 +1321,13 @@ KSTEM_GOLDENS = [
     # derivational endings pass through (lexicon-gated -> identity offline)
     ("ability", "ability"), ("happiness", "happiness"),
     ("nation", "nation"), ("quickly", "quickly"),
+    # -zes plurals keep the e (size/prize class); -ches/-shes/-xes/-sses
+    # drop -es (catch/dish/box/class class)
+    ("sizes", "size"), ("prizes", "prize"), ("catches", "catch"),
     # documented divergences from lexicon-KStem (dictionary-only decisions)
     ("goes", "goe"), ("movies", "movy"), ("fascinating", "fascinat"),
-    ("using", "us"), ("added", "ad"),
+    ("using", "us"), ("added", "ad"), ("installed", "instal"),
+    ("caches", "cach"), ("freed", "freed"), ("gassed", "gass"),
     # non-alpha / short tokens pass through
     ("a", "a"), ("red", "red"), ("bm25", "bm25"),
 ]
@@ -1453,3 +1463,24 @@ def test_indic_parallel_block_transliteration():
     assert nd("ଓଡ଼ିଆ") == "oria"           # Oriya (nukta sequence)
     # mixed Indic scripts in one string romanize independently
     assert nd("हिंदी তামিল தமிழ்") == "hindi tamil tamizh"
+
+
+def test_transliteration_normalization_form_invariance():
+    """NFD-ingested text must index the same tokens as NFC (review fix):
+    decomposed Hangul is all jamo the block probe can't see, and a
+    decomposed two-part Tamil matra would romanize as two wrong vowels."""
+    import unicodedata as _ud
+
+    from baguetter_spark.functions.preprocess import normalize_diacritics as nd
+
+    for text in ("한국 서울", "கொழி", "দিল্লি", "がっこう"):
+        assert nd(_ud.normalize("NFD", text)) == nd(text), text
+
+
+def test_halfwidth_katakana_folds():
+    """Shift-JIS-legacy halfwidth katakana (U+FF66-FF9F) romanizes the
+    same as fullwidth, including halfwidth dakuten pairs (review fix)."""
+    from baguetter_spark.functions.preprocess import normalize_diacritics as nd
+
+    assert nd("ｶﾀｶﾅ") == nd("カタカナ") == "katakana"
+    assert nd("ｶﾞｷﾞ") == "gagi"
