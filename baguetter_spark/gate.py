@@ -1046,9 +1046,12 @@ def gate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from baguetter_spark.gate3 import gate3_queries
     from baguetter_spark.gate4 import gate4_queries
 
+    from baguetter_spark.gate5 import gate5_queries
+
     q.update(gate2_queries())
     q.update(gate3_queries())
     q.update(gate4_queries())
+    q.update(gate5_queries())
     return q
 
 
@@ -1084,7 +1087,10 @@ def gate_oracle_sql() -> dict[str, str]:
     from baguetter_spark.gate3 import gate3_oracle_sql
     from baguetter_spark.gate4 import gate4_oracle_sql
 
+    from baguetter_spark.gate5 import gate5_oracle_sql
+
     s.update(gate2_oracle_sql())
     s.update(gate3_oracle_sql())
     s.update(gate4_oracle_sql())
+    s.update(gate5_oracle_sql())
     return s

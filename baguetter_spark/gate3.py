@@ -87,17 +87,83 @@ def blockmax_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell-probe ANN over the embeddings table.  Rows-only gate entry
-    (no oracle_sql): k-means centroid placement is seeded but not
-    SQL-reproducible in DuckDB, so exactness is asserted by the pytest
-    recall/rerank properties instead (test_dataops.test_ivf_recall_clustered:
-    every hit's cosine equals brute force, recall@10 >= 0.9)."""
-    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
-    from baguetter_spark.operators.similarity import ivf_cosine_topk
+    """IVF cell-probe ANN, k-means-trained path — oracle-checkable
+    invariant row (round-4 upgrade of the former rows-only entry).
 
-    return ivf_cosine_topk(
-        _emb_double(spark, sf_dir), EMB_QUERY_IDS, k=5, n_centroids=16, n_probe=4
+    k-means centroid *placement* is seeded but not SQL-reproducible in
+    DuckDB, so instead of hashing the approximate hit list this row
+    computes, INSIDE the Spark query, the three invariants any correct
+    IVF must satisfy against the brute-force scan and emits one boolean
+    row per query that the DuckDB oracle asserts as constant TRUE:
+
+    - ``recall_monotone`` — brute-top-k hits recovered at n_probe=4 <=
+      hits at n_probe=8 <= hits at n_probe=16 (probe cells are ranked, so
+      candidates(4) ⊆ candidates(8) ⊆ candidates(16); a brute-top-k doc
+      in the candidate set always survives the local top-k because fewer
+      than k docs outscore it globally — any violation means cell
+      assignment or probe ranking lost a candidate);
+    - ``exhaustive_full`` — n_probe == n_centroids recovers the full
+      brute top-k (cells partition the corpus: nothing lost, nothing
+      duplicated);
+    - ``scores_exact`` — every hit shared with brute carries the
+      identical 6-dp cosine (cell-local scoring is the flat-scan math).
+
+    Absolute recall at n_probe=4 stays property-tested on the clustered
+    fixture (test_dataops.test_ivf_recall_clustered, recall@10 >= 0.9);
+    on the unclustered gate embeddings it is governed by n_probe/n_cells
+    and is not a stable constant, hence invariants rather than a floor."""
+    from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
+    from baguetter_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = _emb_double(spark, sf_dir)
+    k = 5
+    brute = cosine_topk(emb, EMB_QUERY_IDS, k=k).select(
+        "query_id", "vec_id", F.col("cos_r").alias("brute_cos")
     )
+
+    def _hits(n_probe: int, tag: str) -> DataFrame:
+        ivf = ivf_cosine_topk(
+            emb, EMB_QUERY_IDS, k=k, n_centroids=16, n_probe=n_probe
+        )
+        return (
+            ivf.join(brute, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(
+                F.count("*").alias(f"hits{tag}"),
+                F.min(
+                    (F.col("cos_r") == F.col("brute_cos")).cast("int")
+                ).alias(f"exact{tag}"),
+            )
+        )
+
+    per_q = brute.select("query_id").distinct()
+    for n_probe, tag in ((4, "4"), (8, "8"), (16, "16")):
+        per_q = per_q.join(_hits(n_probe, tag), "query_id", "left")
+    zero = F.lit(0)
+    h4 = F.coalesce(F.col("hits4"), zero)
+    h8 = F.coalesce(F.col("hits8"), zero)
+    h16 = F.coalesce(F.col("hits16"), zero)
+    one = F.lit(1)
+    exact_all = (
+        F.coalesce(F.col("exact4"), one)
+        + F.coalesce(F.col("exact8"), one)
+        + F.coalesce(F.col("exact16"), one)
+    )
+    return per_q.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.lit(k).cast("long").alias("k"),
+        ((h4 <= h8) & (h8 <= h16)).alias("recall_monotone"),
+        (h16 == F.lit(k)).alias("exhaustive_full"),
+        (exact_all == F.lit(3)).alias("scores_exact"),
+    ).orderBy("query_id")
+
+
+ANN_IVF_INVARIANTS_SQL = """
+SELECT CAST(vec_id AS BIGINT) AS query_id, CAST(5 AS BIGINT) AS k,
+       TRUE AS recall_monotone, TRUE AS exhaustive_full, TRUE AS scores_exact
+FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+ORDER BY query_id
+"""
 
 
 def ann_ivf_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -567,6 +633,8 @@ def gate3_oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk_pruned": bm25_topk_sql("lucene"),
         "bm25_topk_blockmax": bm25_topk_sql("lucene"),
+        # invariant booleans computed in-Spark; oracle asserts constant TRUE
+        "ann_ivf_cosine": ANN_IVF_INVARIANTS_SQL,
         # exhaustive probing degenerates to the flat scan -> brute oracle
         "ann_ivf_exhaustive": KNN_BRUTE_SQL,
         "ann_ivf_pretrained": _ivf_pretrained_sql(),
