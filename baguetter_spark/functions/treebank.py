@@ -128,7 +128,12 @@ def sent_tokenize(text: str) -> list[str]:
             # abbreviation / single initial / dotted acronym: not a boundary
             if low in _ABBREVIATIONS or (len(core) == 1 and core.isalpha()):
                 continue
-            if "." in core:  # u.s.a. style internal dots
+            # u.s.a.-style internal dots suppress the boundary — but NOT
+            # for decimal numbers ("$3.50." ends a sentence; punkt splits)
+            numeric = (
+                core.lstrip("$€£¥#+-(").replace(".", "").replace(",", "").isdigit()
+            )
+            if "." in core and not numeric:
                 continue
         sentences.append(text[start:end].strip())
         start = m.end()

@@ -12,7 +12,14 @@ Probes (see scripts/bench_scaling.py for the two measured host pathologies):
 ``agg_bw_gbps`` — 8-process aggregate prefaulted-copy bandwidth (sees
 hypervisor memory contention a 1-process probe misses); ``fault_mbps`` —
 fresh-allocation rate in a new process (lazy page-materialization health).
-A run is CLEAN only if the probes before AND after it clear both gates.
+A run is CLEAN only if the probes before AND after it clear both gates AND
+(protocol v7, ported from the scaling campaign per round-3 VERDICT item 4)
+every in-run fault-service sample — taken every 20 s for the DURATION of
+the bench by ``bench_scaling._InlegSampler`` — clears ``--gate-inleg-fault``
+(default 300 MB/s).  Bracketing probes cannot see a window closing mid-run;
+the round-3 "clean" runs spread 54-155 s for exactly that reason, so the
+in-run minimum is recorded per run as ``inleg_fault_mbps`` and gates
+cleanliness.
 """
 
 from __future__ import annotations
@@ -26,30 +33,38 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
-from bench_scaling import DEFAULT_GATE_BW, DEFAULT_GATE_FAULT, probes  # noqa: E402
+from bench_scaling import (  # noqa: E402
+    DEFAULT_GATE_BW,
+    DEFAULT_GATE_FAULT,
+    DEFAULT_GATE_INLEG_FAULT,
+    _InlegSampler,
+    probes,
+)
 
 
-def run_bench() -> dict | None:
-    """One bench.py run (local[$SPARK_GRAFT_CPUS], sf $SPARK_GRAFT_SF_DIR);
-    returns the parsed result line, or None on failure."""
+def run_bench() -> tuple[dict | None, list[float]]:
+    """One bench.py run (local[$SPARK_GRAFT_CPUS], sf $SPARK_GRAFT_SF_DIR)
+    under the v7 in-run fault sampler; returns (parsed result line or None
+    on failure, in-run fault-service samples MB/s)."""
     # gated runs are already probe-bracketed and window-scarce: one rep
     # per run keeps a clean window cheap (bench.py's default 2 reps serve
     # the driver's ungated per-round record)
     env = dict(os.environ, BENCH_REPS="1", BENCH_WAIT_CLEAN_SECONDS="0")
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        timeout=1800,
-        env=env,
-    )
+    with _InlegSampler() as sampler:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=1800,
+            env=env,
+        )
     if proc.returncode != 0:
-        return None
+        return None, sampler.samples
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
-            return json.loads(line)
-    return None
+            return json.loads(line), sampler.samples
+    return None, sampler.samples
 
 
 def main() -> None:
@@ -67,6 +82,7 @@ def main() -> None:
     n_clean = int(args[0]) if args else 3
     gate_bw = float(flags.get("--gate-bw", DEFAULT_GATE_BW))
     gate_fault = float(flags.get("--gate-fault", DEFAULT_GATE_FAULT))
+    gate_inleg = float(flags.get("--gate-inleg-fault", DEFAULT_GATE_INLEG_FAULT))
     max_seconds = float(flags.get("--max-seconds", 2 * 3600))
     out_path = flags.get("--out", os.path.join(REPO, "BENCH", "bench_r3_gated.jsonl"))
 
@@ -80,7 +96,8 @@ def main() -> None:
             fh.flush()
 
         emit({"event": "bench_campaign_start", "want_clean": n_clean,
-              "gate_bw_gbps": gate_bw, "gate_fault_mbps": gate_fault})
+              "gate_bw_gbps": gate_bw, "gate_fault_mbps": gate_fault,
+              "gate_inleg_fault_mbps": gate_inleg, "protocol": "v7"})
         while len(clean_runs) < n_clean and time.time() - t_start < max_seconds:
             pr0 = probes()
             if (
@@ -91,10 +108,11 @@ def main() -> None:
                 emit({"event": "skip_dirty_window", **pr0})
                 time.sleep(30)
                 continue
-            res = run_bench()
+            res, inleg = run_bench()
             pr1 = probes()
             if res is None:
-                emit({"event": "bench_failed", "probe_pre": pr0, "probe_post": pr1})
+                emit({"event": "bench_failed", "probe_pre": pr0,
+                      "probe_post": pr1, "inleg_fault_mbps": inleg})
                 continue
             clean = (
                 all(
@@ -103,12 +121,13 @@ def main() -> None:
                     and p["fault_mbps"] >= gate_fault
                     for p in (pr0, pr1)
                 )
+                and (not inleg or min(inleg) >= gate_inleg)
             )
             if clean:
                 clean_runs.append(res)
             emit({"event": "bench_run", "clean": clean, "probe_pre": pr0,
-                  "probe_post": pr1, "result": res,
-                  "clean_recorded": len(clean_runs)})
+                  "probe_post": pr1, "inleg_fault_mbps": inleg,
+                  "result": res, "clean_recorded": len(clean_runs)})
         if clean_runs:
             best = min(clean_runs, key=lambda r: r["value"])
             emit({"event": "summary", "clean_runs": len(clean_runs),
