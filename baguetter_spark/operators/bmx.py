@@ -387,34 +387,62 @@ def bmx_score_queries(
             "query_id", "tok_pos", "term_id", "weight", "n_tokens", "idf", "entropy"
         )
     )
+    # qterms feeds >= 3 downstream consumers (the qscalars aggregate, the
+    # scatter broadcast, and the saved-index pushdown collect); without a
+    # persist each one re-executes the Arrow tokenize pipeline + vocab join
+    # from scratch — profiling showed that subtree is seconds of pure
+    # small-stage overhead per execution and the dominant (and most
+    # weather-sensitive) cost of a small BMX batch.  Bounded by the query
+    # batch; freed by Spark's ContextCleaner when the result goes out of
+    # scope (same contract as search.py's cand_a).
+    qterms = qterms.persist()
 
     # per-query scalars: entropy normalized by the query max; avg over tokens
     # in token order (np.asarray/max/mean float64, index.py:123-131)
-    @F.pandas_udf("double")
-    def ent_max_udf(ent_list: pd.Series) -> pd.Series:
-        return pd.Series(
-            [float(np.max(np.asarray([e["entropy"] for e in lst]))) for lst in ent_list]
-        )
+    if parity:
+        # bit-exact token-order mean for the parity contract
+        @F.pandas_udf("double")
+        def ent_max_udf(ent_list: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    float(np.max(np.asarray([e["entropy"] for e in lst])))
+                    for lst in ent_list
+                ]
+            )
 
-    @F.pandas_udf("double")
-    def avg_ent_udf(ent_list: pd.Series) -> pd.Series:
-        out = []
-        for lst in ent_list:
-            arr = np.asarray([e["entropy"] for e in lst])
-            out.append(float(np.mean(arr / np.max(arr))))
-        return pd.Series(out)
+        @F.pandas_udf("double")
+        def avg_ent_udf(ent_list: pd.Series) -> pd.Series:
+            out = []
+            for lst in ent_list:
+                arr = np.asarray([e["entropy"] for e in lst])
+                out.append(float(np.mean(arr / np.max(arr))))
+            return pd.Series(out)
 
-    qscalars = (
-        qterms.groupBy("query_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("tok_pos", "entropy"))).alias("ents")
+        qscalars = (
+            qterms.groupBy("query_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("tok_pos", "entropy"))
+                ).alias("ents")
+            )
+            .select(
+                "query_id",
+                ent_max_udf(F.col("ents")).alias("ent_max"),
+                avg_ent_udf(F.col("ents")).alias("avg_entropy"),
+            )
         )
-        .select(
-            "query_id",
-            ent_max_udf(F.col("ents")).alias("ent_max"),
-            avg_ent_udf(F.col("ents")).alias("avg_entropy"),
+    else:
+        # FAST PATH: mean(arr/amax) == mean(arr)/amax up to one f64
+        # rounding, so both scalars are a single JVM hash aggregate — the
+        # collect_list + two-pandas-UDF plan this replaces cost a whole
+        # extra Python stage per search, which profiling showed dominates
+        # this (tiny) query batch: bmx_search_20q spends its seconds on
+        # small-stage fixed overheads, not on data (round-4 BASELINE.md
+        # "bmx_search_20q root cause").
+        qscalars = qterms.groupBy("query_id").agg(
+            F.max("entropy").alias("ent_max"),
+            (F.avg("entropy") / F.max("entropy")).alias("avg_entropy"),
         )
-    )
 
     # scatter: queried-term pushdown + broadcast join (as BM25 search);
     # the pushdown job is skipped for in-memory postings (see search.py)
@@ -444,7 +472,7 @@ def bmx_score_queries(
 
         parts_schema = (
             "query_id string, doc_idx long, n_tokens int, "
-            "tf_part double, ent_part double"
+            "tf_part double, ent_part double, m long"
         )
 
         def decode_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -471,13 +499,27 @@ def bmx_score_queries(
                     cols["n_tokens"].append(np.full(n, ntok, dtype=np.int32))
                     cols["tf_part"].append(tf_part)
                     cols["ent_part"].append(np.full(n, w64 * (ent / emax), dtype=np.float64))
-                yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+                out = pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+                # local combine (as the BM25 fast path): collapse duplicate
+                # (query, doc) rows from multi-term matches before the Arrow
+                # hand-off — the shuffle then carries at most one row per
+                # (query, doc) per input partition, whatever the per-doc
+                # match multiplicity (m travels as an explicit local count)
+                yield (
+                    out.groupby(["query_id", "doc_idx"], as_index=False, sort=False)
+                    .agg(
+                        n_tokens=("n_tokens", "first"),
+                        tf_part=("tf_part", "sum"),
+                        ent_part=("ent_part", "sum"),
+                        m=("tf_part", "size"),
+                    )
+                )
 
         parts = joined.mapInPandas(decode_parts, schema=parts_schema)
         agg = parts.groupBy("query_id", "doc_idx", "n_tokens").agg(
             F.sum("tf_part").alias("s_tf"),
             F.sum("ent_part").alias("s_ent"),
-            F.count("*").alias("m"),
+            F.sum("m").alias("m"),
         )
         scores = agg.select(
             "query_id",
