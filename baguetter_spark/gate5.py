@@ -41,7 +41,7 @@ def minhash_b2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_5g_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baguetter_spark.operators.dedup import DedupConfig, ngram_jaccard_pairs
 
-    docs = _docs_with_id(spark, sf_dir).where(F.col("doc_id") < 300)
+    docs = _docs_with_id(spark, sf_dir).where(F.col("doc_id") < 1000)
     cfg = DedupConfig(ngram_n=5)
     return ngram_jaccard_pairs(docs, threshold=0.5, config=cfg)
 
@@ -110,7 +110,7 @@ NGRAM_5G_SQL = """
 WITH docs AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
-  FROM documents WHERE doc_id < 300
+  FROM documents WHERE doc_id < 1000
 ),
 sh AS (
   SELECT DISTINCT doc_id, sh FROM (

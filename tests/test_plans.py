@@ -119,3 +119,29 @@ def F_col_double(name: str):
     from pyspark.sql import functions as F
 
     return F.col(name).cast("array<double>").alias(name)
+
+
+def test_bmx_fast_path_scalars_stay_jvm_side(spark):
+    """Round-4 guard: the fast-path per-query scalars (ent_max,
+    avg_entropy) are ONE JVM hash aggregate; reintroducing the
+    collect_list + pandas-UDF plan would add a whole Python stage per
+    search (the bmx_search_20q root cause — BENCH/BASELINE.md round 4)."""
+    import pandas as pd
+
+    from baguetter_spark.config import SparseIndexConfig, TextPreprocessorConfig
+    from baguetter_spark.operators.bmx import bmx_score_queries, build_bmx_index
+
+    cfg = SparseIndexConfig(preprocessor=TextPreprocessorConfig.parity())
+    idx = build_bmx_index(
+        spark,
+        spark.createDataFrame(gen_transcripts(30, 4, seed=11, vocab_size=60)),
+        cfg,
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q0"], "text": ["term00001 term00002"]})
+    )
+    fast = bmx_score_queries(idx, qdf, top_k=5, parity=False)
+    plan = _executed(fast)
+    assert "collect_list" not in plan, plan
+    # the decode kernel is still the (single) Python pass
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
