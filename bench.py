@@ -238,13 +238,34 @@ def main() -> None:
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     best: tuple[dict[str, float], dict[str, float]] | None = None
     env_min: dict[str, float] = {}
-    for rep in range(reps):
-        timings, extras = run_suite()
-        log(f"rep {rep + 1}/{reps}: total {sum(timings.values()):.1f}s")
-        for k, v in timings.items():
-            env_min[k] = min(env_min.get(k, v), v)
-        if best is None or sum(timings.values()) < sum(best[0].values()):
-            best = (timings, extras)
+    # protocol v7: sample fault service every 20 s for the DURATION of the
+    # measured reps — bracketing probes cannot see a window closing mid-run
+    # (BENCH/BASELINE.md round 4); the per-run minimum is the judge's
+    # weather context for this very JSON line
+    inleg_samples: list[float] = []
+    sampler_cm = None
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        from bench_scaling import _InlegSampler
+
+        sampler_cm = _InlegSampler()
+        sampler_cm.__enter__()
+    except Exception:  # pragma: no cover - sampler helper unavailable
+        sampler_cm = None
+    try:
+        for rep in range(reps):
+            timings, extras = run_suite()
+            log(f"rep {rep + 1}/{reps}: total {sum(timings.values()):.1f}s")
+            for k, v in timings.items():
+                env_min[k] = min(env_min.get(k, v), v)
+            if best is None or sum(timings.values()) < sum(best[0].values()):
+                best = (timings, extras)
+    finally:
+        if sampler_cm is not None:
+            sampler_cm.__exit__(None, None, None)
+            inleg_samples = sampler_cm.samples
     timings, extras = best
 
     total = round(sum(timings.values()), 3)
@@ -259,6 +280,8 @@ def main() -> None:
     if reps > 1:
         out["reps"] = reps
         out["queries_min_envelope"] = {k: round(v, 3) for k, v in env_min.items()}
+    if inleg_samples:
+        out["inleg_fault_mbps"] = inleg_samples
     if probe_pre is not None:
         out["probe_pre"] = probe_pre
         # bracketing post-probe: pre alone cannot see interference that
