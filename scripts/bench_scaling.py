@@ -506,8 +506,14 @@ def main() -> None:
                     continue
                 attempts += 1
                 # the side with fewer clean samples gets the window; tie →
-                # 4N (the weather-sensitive leg)
-                is_4n = len(clean_4n) <= len(clean_n)
+                # alternate by attempt (round 4: an all-dirty stretch —
+                # flap mode — previously pinned every attempt to 4N and
+                # starved the N side of same-weather context legs; the
+                # first tie still goes to the weather-sensitive 4N leg)
+                if len(clean_4n) != len(clean_n):
+                    is_4n = len(clean_4n) < len(clean_n)
+                else:
+                    is_4n = attempts % 2 == 1
                 cores = n_cores * 4 if is_4n else n_cores
                 try:
                     warm, cold, inleg = measure(cores, tpath, n_turns, mode)
