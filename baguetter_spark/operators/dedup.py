@@ -63,6 +63,17 @@ class DedupConfig:
     band_size: int = BAND_SIZE
     sh_bits: int = SH_BITS
     sh_bands: int = SH_BANDS
+    # SimHash band buckets larger than this are dropped from CANDIDATE
+    # GENERATION (a D-member bucket alone contributes ~D^2/2 candidate
+    # pairs — one degenerate near-identical class can make the band join
+    # quadratic; round-4 10x-scale sweep hit exactly this).  A qualifying
+    # pair is still found if ANY of its agreeing bands sits in an
+    # under-cap bucket; classes dense enough to blow the cap are
+    # exact-dup/cluster-representative territory, not pairwise
+    # enumeration.  None disables the cap (the driver-gate rows run
+    # uncapped — at gate SFs no bucket approaches any sane cap, so the
+    # oracle SQL needs no mirror clause).
+    sh_bucket_cap: int | None = 100_000
 
     def __post_init__(self) -> None:
         if self.n_hashes % self.band_size:
@@ -328,6 +339,16 @@ def simhash_near_dup_pairs(
     bands = fp.select(
         "doc_id", "simhash", F.explode(band_structs).alias("bb")
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    if config.sh_bucket_cap is not None:
+        # drop degenerate buckets from candidate generation (see
+        # DedupConfig.sh_bucket_cap); completeness note: a Hamming<=
+        # sh_bands-1 pair survives as long as one of its agreeing bands
+        # is under cap
+        sizes = bands.groupBy("band", "bval").agg(F.count("*").alias("bsz"))
+        bands = bands.join(
+            sizes.where(F.col("bsz") <= config.sh_bucket_cap).select("band", "bval"),
+            ["band", "bval"],
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
