@@ -244,16 +244,20 @@ def main() -> None:
     # weather context for this very JSON line
     inleg_samples: list[float] = []
     sampler_cm = None
-    try:
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
-        )
-        from bench_scaling import _InlegSampler
+    # BENCH_INLEG_SAMPLER=0: an outer harness (scripts/bench_gated.py)
+    # already runs its own sampler on the same core / period — two
+    # concurrent probes collide and depress each other's readings
+    if os.environ.get("BENCH_INLEG_SAMPLER", "1") != "0":
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+            )
+            from bench_scaling import _InlegSampler
 
-        sampler_cm = _InlegSampler()
-        sampler_cm.__enter__()
-    except Exception:  # pragma: no cover - sampler helper unavailable
-        sampler_cm = None
+            sampler_cm = _InlegSampler()
+            sampler_cm.__enter__()
+        except Exception:  # pragma: no cover - sampler helper unavailable
+            sampler_cm = None
     try:
         for rep in range(reps):
             timings, extras = run_suite()

@@ -13,13 +13,17 @@ Probes (see scripts/bench_scaling.py for the two measured host pathologies):
 hypervisor memory contention a 1-process probe misses); ``fault_mbps`` —
 fresh-allocation rate in a new process (lazy page-materialization health).
 A run is CLEAN only if the probes before AND after it clear both gates AND
-(protocol v7, ported from the scaling campaign per round-3 VERDICT item 4)
-every in-run fault-service sample — taken every 20 s for the DURATION of
-the bench by ``bench_scaling._InlegSampler`` — clears ``--gate-inleg-fault``
-(default 300 MB/s).  Bracketing probes cannot see a window closing mid-run;
-the round-3 "clean" runs spread 54-155 s for exactly that reason, so the
-in-run minimum is recorded per run as ``inleg_fault_mbps`` and gates
-cleanliness.
+the in-run fault-service samples — taken every 20 s for the DURATION of
+the bench by ``bench_scaling._InlegSampler`` — clear the protocol-v8
+CALIBRATED rule (``bench_scaling.inleg_clean``: overall median AND
+second-half median >= ``--gate-inleg-median``, default 100 MB/s).  The
+round-4 pinned-burn experiment proved the old v7 absolute min>=300 floor
+mislabels every busy run: a local[32] bench saturates the box and
+depresses the probe to a ~130-260 MB/s busy-baseline even in a healthy
+window (BENCH/BASELINE.md round-4/round-5 sections).  Bracketing probes
+cannot see a window closing mid-run; the second-half-median term catches
+exactly that (the observed collapse run's second-half median was 79.3).
+The full sample list is recorded per run as ``inleg_fault_mbps``.
 """
 
 from __future__ import annotations
@@ -36,20 +40,26 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 from bench_scaling import (  # noqa: E402
     DEFAULT_GATE_BW,
     DEFAULT_GATE_FAULT,
-    DEFAULT_GATE_INLEG_FAULT,
+    DEFAULT_GATE_INLEG_MEDIAN,
     _InlegSampler,
+    inleg_clean,
     probes,
 )
 
 
 def run_bench() -> tuple[dict | None, list[float]]:
     """One bench.py run (local[$SPARK_GRAFT_CPUS], sf $SPARK_GRAFT_SF_DIR)
-    under the v7 in-run fault sampler; returns (parsed result line or None
+    under the in-run fault sampler; returns (parsed result line or None
     on failure, in-run fault-service samples MB/s)."""
     # gated runs are already probe-bracketed and window-scarce: one rep
     # per run keeps a clean window cheap (bench.py's default 2 reps serve
-    # the driver's ungated per-round record)
-    env = dict(os.environ, BENCH_REPS="1", BENCH_WAIT_CLEAN_SECONDS="0")
+    # the driver's ungated per-round record).  BENCH_INLEG_SAMPLER=0
+    # suppresses bench.py's own internal sampler: two concurrent probes
+    # pinned to the same core on the same 20 s period would collide and
+    # depress each other's readings (round-4 ADVICE); the outer sampler
+    # here is the one whose samples gate cleanliness.
+    env = dict(os.environ, BENCH_REPS="1", BENCH_WAIT_CLEAN_SECONDS="0",
+               BENCH_INLEG_SAMPLER="0")
     with _InlegSampler() as sampler:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -82,7 +92,7 @@ def main() -> None:
     n_clean = int(args[0]) if args else 3
     gate_bw = float(flags.get("--gate-bw", DEFAULT_GATE_BW))
     gate_fault = float(flags.get("--gate-fault", DEFAULT_GATE_FAULT))
-    gate_inleg = float(flags.get("--gate-inleg-fault", DEFAULT_GATE_INLEG_FAULT))
+    gate_inleg = float(flags.get("--gate-inleg-median", DEFAULT_GATE_INLEG_MEDIAN))
     max_seconds = float(flags.get("--max-seconds", 2 * 3600))
     out_path = flags.get("--out", os.path.join(REPO, "BENCH", "bench_r3_gated.jsonl"))
 
@@ -97,7 +107,7 @@ def main() -> None:
 
         emit({"event": "bench_campaign_start", "want_clean": n_clean,
               "gate_bw_gbps": gate_bw, "gate_fault_mbps": gate_fault,
-              "gate_inleg_fault_mbps": gate_inleg, "protocol": "v7"})
+              "gate_inleg_median_mbps": gate_inleg, "protocol": "v8"})
         while len(clean_runs) < n_clean and time.time() - t_start < max_seconds:
             pr0 = probes()
             if (
@@ -121,7 +131,7 @@ def main() -> None:
                     and p["fault_mbps"] >= gate_fault
                     for p in (pr0, pr1)
                 )
-                and (not inleg or min(inleg) >= gate_inleg)
+                and inleg_clean(inleg, gate_inleg)
             )
             if clean:
                 clean_runs.append(res)

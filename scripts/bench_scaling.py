@@ -69,11 +69,31 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 HEALTHY_BW_GBPS = 90.0  # 8-proc aggregate prefaulted copy, idle guest
 DEFAULT_GATE_BW = 45.0  # worst bw reading ever observed on this boot is 61.8
 DEFAULT_GATE_FAULT = 1000.0  # healthy lazy-backing regime; throttled = 2-160
-# In-leg gate (protocol v7) sits BELOW the bracket gate: the running leg's
-# own allocation stream competes with the sampler for host fault service,
-# so healthy windows read lower mid-leg than idle; the throttled regime
-# reads 3-200 MB/s, so 300 still separates the two modes.
-DEFAULT_GATE_INLEG_FAULT = 300.0
+# In-leg gate (protocol v8, round 5 — calibrated): the round-4 pinned-burn
+# experiment (BENCH/BASELINE.md "the in-leg fault probe is depressed by the
+# leg's own activity") proved the v7 absolute min>=300 floor mislabels every
+# busy-but-healthy leg: ANY running leg depresses the probe to a ~130-260
+# MB/s busy-baseline with occasional one-sample dips (observed min 15.9 on
+# a leg whose warm throughput BEAT the clean-pool median).  Calibration over
+# the 13 bracket-green warm>=cold-green legs with recorded samples: in-leg
+# medians 130.5-262.8 MB/s; the one observed genuine mid-run collapse (the
+# round-4 smoke run [4839.5, 176.8, 168.6, 41.4, 79.3, 93.3]) has a
+# second-half median of 79.3.  v8 rule: median(samples) >= floor AND
+# median(second half of samples) >= floor, floor 100 MB/s — half the lowest
+# healthy busy-baseline median, above the collapsed/throttled regime.  The
+# second-half term catches the bracket-invisible pathology v7 was built
+# for (a window that closes MID-leg) without punishing transient dips.
+DEFAULT_GATE_INLEG_MEDIAN = 100.0
+
+
+def inleg_clean(samples: list[float] | None, floor: float = DEFAULT_GATE_INLEG_MEDIAN) -> bool:
+    """Protocol v8 in-leg cleanliness (see DEFAULT_GATE_INLEG_MEDIAN)."""
+    if not samples:
+        return True
+    return (
+        _median(samples) >= floor
+        and _median(samples[len(samples) // 2 :]) >= floor
+    )
 # touched by foreground experiments (pytest, ab_compare) so the campaign
 # pauses instead of measuring a window we contended ourselves
 FOREGROUND_LOCK = os.path.join(REPO, "BENCH", ".foreground_lock")
@@ -434,7 +454,12 @@ def main() -> None:
     mode = args[3] if len(args) > 3 else "sorted"
     gate_bw = float(flags.get("--gate-bw", DEFAULT_GATE_BW))
     gate_fault = float(flags.get("--gate-fault", DEFAULT_GATE_FAULT))
-    gate_inleg = float(flags.get("--gate-inleg-fault", DEFAULT_GATE_INLEG_FAULT))
+    gate_inleg = float(flags.get("--gate-inleg-median", DEFAULT_GATE_INLEG_MEDIAN))
+    # clean legs already recorded in the jsonl by prior sessions: seeds the
+    # side-picker so a resumed campaign spends scarce clean windows on the
+    # side whose POOL (not in-run count) is thinner
+    have_n = int(flags.get("--have-n", "0"))
+    have_4n = int(flags.get("--have-4n", "0"))
     max_attempts = int(flags.get("--max-attempts", want_clean * 4))
     max_seconds = float(flags.get("--max-seconds", 6 * 3600))
     out_path = flags.get(
@@ -461,7 +486,8 @@ def main() -> None:
                   "cores_N": n_cores, "cores_4N": n_cores * 4,
                   "want_clean": want_clean, "gate_bw_gbps": gate_bw,
                   "gate_fault_mbps": gate_fault,
-                  "gate_inleg_fault_mbps": gate_inleg, "mode": mode,
+                  "gate_inleg_median_mbps": gate_inleg, "protocol": "v8",
+                  "have_n": have_n, "have_4n": have_4n, "mode": mode,
                   "leg_mode": leg_mode})
         t_start = time.time()
         warmup_turns = int(flags.get("--warmup-turns", "200000"))
@@ -505,13 +531,16 @@ def main() -> None:
                     time.sleep(30)
                     continue
                 attempts += 1
-                # the side with fewer clean samples gets the window; tie →
-                # alternate by attempt (round 4: an all-dirty stretch —
-                # flap mode — previously pinned every attempt to 4N and
-                # starved the N side of same-weather context legs; the
-                # first tie still goes to the weather-sensitive 4N leg)
-                if len(clean_4n) != len(clean_n):
-                    is_4n = len(clean_4n) < len(clean_n)
+                # the side with the thinner POOL (prior sessions' clean
+                # legs via --have-n/--have-4n + this run's) gets the
+                # window; tie → alternate by attempt (round 4: an all-dirty
+                # stretch — flap mode — previously pinned every attempt to
+                # 4N and starved the N side of same-weather context legs;
+                # the first tie still goes to the weather-sensitive 4N leg)
+                tot_n = have_n + len(clean_n)
+                tot_4n = have_4n + len(clean_4n)
+                if tot_4n != tot_n:
+                    is_4n = tot_4n < tot_n
                 else:
                     is_4n = attempts % 2 == 1
                 cores = n_cores * 4 if is_4n else n_cores
@@ -535,22 +564,17 @@ def main() -> None:
                 # probes can miss (observed: a 4c leg warm 18.4k vs cold
                 # 22.5k with both probes green).  Not applicable to v4
                 # single-run legs (cold == 0).
-                # protocol v7: the leg's in-leg fault-service samples must
-                # all clear the in-leg gate — the bracketing probes cannot
-                # see a window that closes mid-leg (observed: 'clean' legs
-                # 30% below the warm-pool medians with green brackets).
-                # The in-leg gate is LOWER than the bracket gate because
-                # the leg's own allocation stream competes for the host's
-                # fault service; the pathology regime reads 3-200 MB/s, so
-                # the gate still separates the modes cleanly.
+                # protocol v8: the leg's in-leg fault-service samples must
+                # clear the CALIBRATED median rule (see inleg_clean /
+                # DEFAULT_GATE_INLEG_MEDIAN) — the bracketing probes cannot
+                # see a window that closes mid-leg, and the v7 absolute
+                # floor mislabeled every busy-but-healthy leg.
                 clean = all(
                     p["agg_bw_gbps"] is not None
                     and p["agg_bw_gbps"] >= gate_bw
                     and p["fault_mbps"] >= gate_fault
                     for p in (pr0, pr1)
-                ) and (cold <= 0 or warm >= cold) and (
-                    not inleg or min(inleg) >= gate_inleg
-                )
+                ) and (cold <= 0 or warm >= cold) and inleg_clean(inleg, gate_inleg)
                 if clean:
                     (clean_4n if is_4n else clean_n).append(warm)
                 emit(fh, {
@@ -566,19 +590,20 @@ def main() -> None:
                 if clean and bench_jsonl and n_bench < 3:
                     from bench_gated import run_bench
 
-                    res = run_bench()
+                    res, b_inleg = run_bench()
                     pr2b = probes()
                     bclean = res is not None and all(
                         p["agg_bw_gbps"] is not None
                         and p["agg_bw_gbps"] >= gate_bw
                         and p["fault_mbps"] >= gate_fault
                         for p in (pr1, pr2b)
-                    )
+                    ) and inleg_clean(b_inleg, gate_inleg)
                     if bclean:
                         n_bench += 1
                     with open(bench_jsonl, "a") as bfh:
                         bline = {"event": "bench_run", "clean": bclean,
                                  "probe_pre": pr1, "probe_post": pr2b,
+                                 "inleg_fault_mbps": b_inleg,
                                  "result": res, "after_leg": attempts}
                         bfh.write(json.dumps(bline) + "\n")
                     print(json.dumps(bline), flush=True)
@@ -649,9 +674,9 @@ def main() -> None:
                 # protocol v6: warm >= cold per leg (see leg-mode comment)
                 and (c_4n <= 0 or w_4n >= c_4n)
                 and (c_n <= 0 or w_n >= c_n)
-                # protocol v7: in-leg fault-service samples (see leg mode)
-                and (not inleg_4n or min(inleg_4n) >= gate_inleg)
-                and (not inleg_n or min(inleg_n) >= gate_inleg)
+                # protocol v8: calibrated in-leg median rule (see leg mode)
+                and inleg_clean(inleg_4n, gate_inleg)
+                and inleg_clean(inleg_n, gate_inleg)
             )
             if clean:
                 clean_n.append(w_n)
@@ -677,17 +702,18 @@ def main() -> None:
                 # as scripts/bench_gated.py)
                 from bench_gated import run_bench
 
-                res = run_bench()
+                res, b_inleg = run_bench()
                 pr3 = probes()
                 bclean = res is not None and all(
                     p["agg_bw_gbps"] is not None
                     and p["agg_bw_gbps"] >= gate_bw
                     and p["fault_mbps"] >= gate_fault
                     for p in (pr2, pr3)
-                )
+                ) and inleg_clean(b_inleg, gate_inleg)
                 with open(bench_jsonl, "a") as bfh:
                     bline = {"event": "bench_run", "clean": bclean,
                              "probe_pre": pr2, "probe_post": pr3,
+                             "inleg_fault_mbps": b_inleg,
                              "result": res, "after_trial": attempts}
                     bfh.write(json.dumps(bline) + "\n")
                 print(json.dumps(bline), flush=True)

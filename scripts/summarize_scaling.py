@@ -61,13 +61,29 @@ def summarize(path: str) -> dict:
     # bracketing probes per trial precisely so the gate can be re-applied).
     gate_bw = float(cfg["gate_bw_gbps"])
     gate_fault = float(cfg["gate_fault_mbps"])
-    # protocol v7 (in-leg fault-service sampling): enforced only on events
+    # protocol v8 (round 5, calibrated in-leg rule): enforced only on events
     # that recorded samples — earlier events didn't measure mid-leg health
-    # and remain gated by their brackets alone
-    gate_inleg = float(cfg.get("gate_inleg_fault_mbps", 300.0))
+    # and remain gated by their brackets alone.  The round-4 pinned-burn
+    # experiment (BENCH/BASELINE.md "the in-leg fault probe is depressed by
+    # the leg's own activity") proved the v7 absolute min>=300 floor
+    # mislabels every busy-but-healthy leg: ANY running leg depresses the
+    # probe to a ~130-260 MB/s busy-baseline with occasional one-sample
+    # dips (observed min 15.9 on a leg whose throughput BEAT the clean-pool
+    # median).  Calibration over the 13 bracket-green warm>=cold-green legs
+    # with samples: in-leg medians 130.5-262.8; the one observed genuine
+    # mid-run collapse (BASELINE.md round-4 smoke run) has a second-half
+    # median of 79.3.  v8 rule: median(samples) >= floor AND
+    # median(second half) >= floor, floor = 100 MB/s — half the lowest
+    # healthy busy-baseline median, above the collapsed regime.
+    gate_inleg = float(cfg.get("gate_inleg_median_mbps", 100.0))
 
     def _inleg_ok(samples: list | None) -> bool:
-        return not samples or min(samples) >= gate_inleg
+        if not samples:
+            return True
+        return (
+            _median(samples) >= gate_inleg
+            and _median(samples[len(samples) // 2 :]) >= gate_inleg
+        )
 
     def _warm_ge_cold(warm: float | None, cold: float | None) -> bool:
         # protocol v6: the recorded warm (2nd) run must not be slower than
@@ -163,6 +179,10 @@ def summarize(path: str) -> dict:
         "failed": failed,
         "pinned": "taskset",
         "measured_run": out_measured,
+        "inleg_rule": (
+            f"v8: median>={gate_inleg} & 2nd-half median>={gate_inleg} MB/s "
+            "(calibrated busy-baseline, BENCH/BASELINE.md round-5)"
+        ),
     }
     out["legs_total"] = len(legs)
     out["legs_clean_N"] = len(pool_n) - len(clean)
