@@ -507,7 +507,10 @@ def main() -> None:
             # (summarize_scaling.py re-derives this from the event log).
             n_bench = 0
             while (
-                (len(clean_n) < want_clean or len(clean_4n) < want_clean)
+                (
+                    have_n + len(clean_n) < want_clean
+                    or have_4n + len(clean_4n) < want_clean
+                )
                 and attempts < max_attempts
                 and time.time() - t_start < max_seconds
             ):
