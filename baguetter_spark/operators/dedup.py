@@ -63,17 +63,22 @@ class DedupConfig:
     band_size: int = BAND_SIZE
     sh_bits: int = SH_BITS
     sh_bands: int = SH_BANDS
-    # SimHash band buckets larger than this are dropped from CANDIDATE
-    # GENERATION (a D-member bucket alone contributes ~D^2/2 candidate
-    # pairs — one degenerate near-identical class can make the band join
-    # quadratic; round-4 10x-scale sweep hit exactly this).  A qualifying
-    # pair is still found if ANY of its agreeing bands sits in an
-    # under-cap bucket; classes dense enough to blow the cap are
-    # exact-dup/cluster-representative territory, not pairwise
-    # enumeration.  None disables the cap (the driver-gate rows run
-    # uncapped — at gate SFs no bucket approaches any sane cap, so the
-    # oracle SQL needs no mirror clause).
-    sh_bucket_cap: int | None = 100_000
+    # OPT-IN: SimHash band buckets larger than this are dropped from
+    # CANDIDATE GENERATION (a D-member bucket alone contributes ~D^2/2
+    # candidate pairs — one degenerate near-identical class can make the
+    # band join quadratic; the round-4 10x-scale sweep hit exactly this).
+    # A qualifying pair is still found if ANY of its agreeing bands sits
+    # in an under-cap bucket — but a duplicate CLASS larger than the cap
+    # puts every agreeing band over cap, so its pairs are LOST entirely.
+    # Because silently returning zero pairs for the most-duplicated
+    # content defeats a dedup operator, the default is None (complete:
+    # the pigeonhole guarantee holds unconditionally); set a cap when
+    # running at scales where a degenerate class would otherwise make the
+    # join quadratic, and use ``simhash_overcap_buckets`` first to see
+    # exactly which buckets (and how many member docs) a cap would drop.
+    # Classes dense enough to blow a 100k cap are exact-dup /
+    # cluster-representative territory, not pairwise enumeration.
+    sh_bucket_cap: int | None = None
 
     def __post_init__(self) -> None:
         if self.n_hashes % self.band_size:
@@ -303,6 +308,42 @@ def simhash(
     return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def simhash_overcap_buckets(
+    docs: DataFrame,
+    vocab: DataFrame,
+    cap: int,
+    config: DedupConfig = DEFAULT_DEDUP,
+) -> DataFrame:
+    """(band, bval, bsz) for every SimHash band bucket LARGER than ``cap`` —
+    the buckets ``simhash_near_dup_pairs`` would exclude from candidate
+    generation under ``DedupConfig(sh_bucket_cap=cap)``.  Run this before
+    opting into a cap: a non-empty result is the exact recall-loss surface
+    (any duplicate class whose EVERY band bucket appears here yields zero
+    pairs under the cap), and ``sum(bsz)`` bounds the affected docs."""
+    fp = simhash(docs, vocab, config)
+    band_width = config.sh_bits // config.sh_bands
+    band_mask = (1 << band_width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftright(F.col("simhash"), band_width * b) % (band_mask + 1)
+                ).alias("bval"),
+            )
+            for b in range(config.sh_bands)
+        ]
+    )
+    bands = fp.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    )
+    return (
+        bands.groupBy("band", "bval")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > cap)
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     vocab: DataFrame,
@@ -321,6 +362,13 @@ def simhash_near_dup_pairs(
     recall-HEURISTIC on candidate generation, not complete: a pair whose
     differing bits land in every band is never considered.)  Candidates are
     verified with the exact popcount of the XOR.
+
+    Completeness caveat: the pigeonhole guarantee above holds for the
+    default config (``sh_bucket_cap=None``).  With a cap set, buckets
+    larger than the cap are excluded from candidate generation, and a
+    duplicate class big enough to overflow EVERY one of its band buckets
+    yields no pairs at all — quantify that loss first with
+    ``simhash_overcap_buckets`` before opting in at scale.
     """
     fp = simhash(docs, vocab, config)
     band_width = config.sh_bits // config.sh_bands

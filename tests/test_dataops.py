@@ -234,6 +234,42 @@ def test_dedup_config_non_default(spark, docs, vocab):
     assert (0, 1) in {(r["doc_a"], r["doc_b"]) for r in sigs}
 
 
+def test_simhash_bucket_cap_opt_in_and_diagnostic(spark, docs, vocab):
+    """sh_bucket_cap defaults to None (pigeonhole-complete); an opt-in cap
+    gates CANDIDATE GENERATION — a cap of 1 drops every shared bucket, so
+    even the exact-dup pair disappears — and simhash_overcap_buckets
+    reports exactly the buckets such a cap would exclude (the recall-loss
+    surface the caller must inspect before opting in)."""
+    from baguetter_spark.operators.dedup import (
+        DEFAULT_DEDUP,
+        DedupConfig,
+        simhash_near_dup_pairs,
+        simhash_overcap_buckets,
+    )
+
+    assert DEFAULT_DEDUP.sh_bucket_cap is None
+    capped = DedupConfig(sh_bucket_cap=1)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, vocab, max_hamming=3, config=capped).collect()
+    }
+    assert (0, 1) not in pairs  # the identical pair is LOST under cap=1 ...
+    over = simhash_overcap_buckets(docs, vocab, cap=1).collect()
+    assert over, "... and the diagnostic must surface the dropped buckets"
+    assert all(r["bsz"] > 1 for r in over)
+    # a cap no bucket reaches changes nothing vs the complete default
+    loose = DedupConfig(sh_bucket_cap=10_000)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, vocab, max_hamming=3).collect()
+    }
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, vocab, max_hamming=3, config=loose).collect()
+    } == full
+    assert simhash_overcap_buckets(docs, vocab, cap=10_000).collect() == []
+
+
 def test_dedup_config_shingle_df_cap(spark, docs):
     """A cap of 1 removes every shared shingle from candidate generation
     (shared implies df >= 2), so even the exact-dup pair disappears —
