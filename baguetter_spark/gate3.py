@@ -108,6 +108,17 @@ def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``scores_exact`` — every hit shared with brute carries the
       identical 6-dp cosine (cell-local scoring is the flat-scan math).
 
+    Tie-safety (round-5, ADVICE item): all three invariants hold even if
+    the fixture produces a cosine tie at the rank-k boundary, because
+    both ``cosine_topk`` and ``ivf_cosine_topk`` rank through
+    ``per_query_topk``'s canonical TOTAL order (cos_r desc, vec_id asc) —
+    the deterministic lowest-vec-id tie-break is part of both contracts.
+    Under a total order, any brute-top-k member t has at most k-1
+    universe elements preceding it, so t is in the top-k of EVERY
+    candidate set containing it: hits(n_probe) = |brute_topk ∩
+    candidates(n_probe)|, which is monotone in the nested candidate
+    sets, and candidates(n_centroids) = universe forces h16 == k.
+
     Absolute recall at n_probe=4 stays property-tested on the clustered
     fixture (test_dataops.test_ivf_recall_clustered, recall@10 >= 0.9);
     on the unclustered gate embeddings it is governed by n_probe/n_cells
@@ -172,8 +183,9 @@ def ann_ivf_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strong (hash-checked) oracle row for the IVF plumbing: proves cell
     assignment partitions the corpus (no candidate lost to an unprobed
     cell, none duplicated across cells) and that the cell-local score +
-    global merge path is the same math as the flat scan.  The recall-style
-    ``ann_ivf_cosine`` row (n_probe=4) stays rows-only."""
+    global merge path is the same math as the flat scan.  The
+    ``ann_ivf_cosine`` row (n_probe=4) is oracle-checked too, via
+    in-query invariant booleans (see ``ann_ivf_invariants_query``)."""
     from baguetter_spark.gate import EMB_QUERY_IDS, _emb_double
     from baguetter_spark.operators.similarity import ivf_cosine_topk
 
