@@ -259,6 +259,36 @@ def _build_indic_tables() -> tuple:
 _INDIC_RE = re.compile("[\u0900-\u0d7f]")
 _HANGUL_RE = re.compile("[\uac00-\ud7a3]")
 _KANA_RE = re.compile("[\u3040-\u30ff\uff66-\uff9f]")
+# URO + the compatibility-ideograph block (the latter NFKD-normalizes into
+# the URO before the CJK pass runs, so the probe must catch both)
+_CJK_RE = re.compile("[\u4e00-\u9fff\uf900-\ufaff]")
+
+
+def _cjk_translit(text: str) -> str:
+    """Replace table-known CJK ideographs with toneless-pinyin readings
+    (functions/cjk.py; dominant reading per char, the public Unihan
+    kMandarin convention the reference gets via unidecode).  Pinyin
+    syllables are space-separated from adjacent alphanumeric runs \u2014
+    including other ideographs \u2014 so \u4e2d\u56fd -> "zhong guo" tokenizes as two
+    words; unknown ideographs pass through unchanged (the documented
+    residual instead of unidecode's coverage)."""
+    from baguetter_spark.functions.cjk import CJK_PINYIN
+
+    out: list[str] = []
+    prev_pinyin = False
+    for ch in text:
+        py = CJK_PINYIN.get(ord(ch))
+        if py is not None:
+            if out and out[-1][-1].isalnum():
+                out.append(" ")
+            out.append(py)
+            prev_pinyin = True
+        else:
+            if prev_pinyin and ch.isalnum():
+                out.append(" ")
+            out.append(ch)
+            prev_pinyin = False
+    return "".join(out)
 
 
 def _indic_translit(text: str) -> str:
@@ -443,9 +473,12 @@ def normalize_diacritics(text: str) -> str:
     ELOT-style Greek romanization (Ελλάδα→Ellada), ALA-LC-style Arabic
     letter romanization (كتاب→ktab, harakat stripped as combining marks),
     a contextual Devanagari pass (नमस्ते→namaste), exact algorithmic
-    Hangul Revised Romanization (한국→hanguk) and Hepburn-style kana
-    (すし→sushi).  CJK ideographs (kanji/hanzi) pass through unchanged
-    (unidecode's pinyin tables are the documented remaining gap)."""
+    Hangul Revised Romanization (한국→hanguk), Hepburn-style kana
+    (すし→sushi), and a vendored dominant-reading pinyin table for CJK
+    ideographs (中国→"zhong guo"; functions/cjk.py, ~3.7k chars, the
+    Unihan-kMandarin convention unidecode uses — lowercase and
+    space-separated here; ideographs outside the table pass through
+    unchanged, the documented residual)."""
     text = text.translate(_DIACRITIC_EXTRA)
     if not text.isascii():
         # NFC first: the contextual passes match composed codepoints
@@ -476,7 +509,12 @@ def normalize_diacritics(text: str) -> str:
     # AFTER the strip: й/ё decompose under NFKD (и+breve / е+diaeresis) and
     # ά/ή likewise, so romanizing the stripped base letters covers composed
     # and decomposed input identically
-    return text.translate(_CYRILLIC).translate(_GREEK).translate(_ARABIC)
+    text = text.translate(_CYRILLIC).translate(_GREEK).translate(_ARABIC)
+    if _CJK_RE.search(text):
+        # AFTER the strip too: NFKD folds the compatibility-ideograph
+        # block (U+F900-) into URO codepoints the table covers
+        text = _cjk_translit(text)
+    return text
 
 
 def _resolve(cfg: TextPreprocessorConfig):

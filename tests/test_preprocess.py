@@ -328,14 +328,69 @@ def test_cyrillic_transliteration():
     assert normalize_diacritics("Київ") == "Kiiv"
     # composed й and decomposed и + breve romanize identically
     assert normalize_diacritics("йод") == normalize_diacritics("йод") == "iod"
-    # CJK passes through (documented divergence from unidecode)
-    assert normalize_diacritics("漢字") == "漢字"
+    # CJK romanizes too since round 5 (see test_cjk_transliteration)
+    assert normalize_diacritics("漢字") == "han zi"
     cfg = TextPreprocessorConfig(
         stemmer=None, stopwords=None, do_diacritics_normalization=True,
         do_ampersand_normalization=False, do_special_chars_normalization=False,
         do_acronyms_normalization=False, do_punctuation_removal=False,
     )
     assert make_processor(cfg)("Москва слезам") == ["moskva", "slezam"]
+
+
+def test_cjk_transliteration():
+    """Round-5 T12 closure: CJK ideographs romanize via the vendored
+    dominant-reading pinyin table (functions/cjk.py — the Unihan-kMandarin
+    convention the reference gets through unidecode, lowercase and
+    space-separated here, unknown ideographs passing through)."""
+    from baguetter_spark.config import TextPreprocessorConfig
+    from baguetter_spark.functions.preprocess import (
+        make_processor,
+        normalize_diacritics,
+    )
+
+    # golden pairs, simplified + traditional
+    assert normalize_diacritics("中国") == "zhong guo"
+    assert normalize_diacritics("我爱北京") == "wo ai bei jing"
+    assert normalize_diacritics("機器學習") == "ji qi xue xi"
+    assert normalize_diacritics("数据分析") == "shu ju fen xi"
+    # dominant readings for common polyphones (kMandarin convention)
+    assert normalize_diacritics("长行乐重还都") == "chang xing le zhong hai dou"
+    # pinyin separates from adjacent ASCII alphanumerics, not punctuation
+    assert normalize_diacritics("Spark引擎x2") == "Spark yin qing x2"
+    assert normalize_diacritics("你好, 世界!") == "ni hao, shi jie!"
+    # unknown ideograph passes through, separated from neighboring pinyin
+    rare = "龥"  # 龥 — last URO codepoint, deliberately untabled
+    assert normalize_diacritics(f"中{rare}国") == f"zhong {rare} guo"
+    # kanji + kana mix: both passes fire
+    assert normalize_diacritics("日本語テキスト") == "ri ben yu tekisuto"
+    # NFKD folds compatibility ideographs (U+F900 block) into the URO
+    # first, so 郎 (U+F92C -> U+90CE) romanizes like its URO form
+    assert normalize_diacritics("郎") == normalize_diacritics("郎") == "lang"
+    cfg = TextPreprocessorConfig(
+        stemmer=None, stopwords=None, do_diacritics_normalization=True,
+        do_ampersand_normalization=False, do_special_chars_normalization=False,
+        do_acronyms_normalization=False, do_punctuation_removal=False,
+    )
+    assert make_processor(cfg)("机器学习 rocks") == ["ji", "qi", "xue", "xi", "rocks"]
+
+
+def test_cjk_table_integrity():
+    """The vendored table is duplicate-free (one dominant reading per
+    char), URO-only, and every reading is lowercase ASCII pinyin."""
+    import re
+    from collections import Counter
+
+    from baguetter_spark.functions.cjk import _PINYIN_TO_CHARS, CJK_PINYIN
+
+    counts = Counter(ch for chars in _PINYIN_TO_CHARS.values() for ch in chars)
+    dups = {ch: n for ch, n in counts.items() if n > 1}
+    assert not dups, dups
+    assert len(CJK_PINYIN) == sum(counts.values())
+    assert all(0x4E00 <= cp <= 0x9FFF for cp in CJK_PINYIN)
+    syllable = re.compile(r"^[a-z]{1,6}$")
+    assert all(syllable.match(py) for py in _PINYIN_TO_CHARS)
+    assert len(CJK_PINYIN) > 3000  # meaningful coverage, not a token stub
 
 
 def test_greek_transliteration():
@@ -1438,8 +1493,8 @@ def test_kana_transliteration():
     assert nd("ニッポン") == "nippon"      # katakana, same rules
     # decomposed dakuten (か + U+3099) recomposes before the map
     assert nd(_ud.normalize("NFD", "がっこう")) == "gakkou"
-    # kanji passes through (documented gap)
-    assert nd("日本の すし") == "日本no sushi"
+    # kanji romanizes via the round-5 CJK table alongside the kana pass
+    assert nd("日本の すし") == "ri ben no sushi"
 
 
 def test_indic_parallel_block_transliteration():
