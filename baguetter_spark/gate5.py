@@ -245,6 +245,62 @@ def wav_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def png_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 VERDICT item 3: REAL PNG decode (stdlib zlib + pure-numpy
+    unfiltering).  Pixels are closed-form — w = 3 + d%5, h = 5 + d%3
+    (h >= 5 so the row-cycling encoder exercises ALL FIVE filter types in
+    every payload), channels cycle 1/3/4 (gray, RGB, RGBA) with d%3,
+    sample i = (d*11 + i*7) % 256 — encoded with ``encode_png`` on the
+    Spark side and decoded back by ``decode_png`` via the standard
+    ``media_decode_stats`` path; the DuckDB oracle recomputes width,
+    height, channels, and the exact int64 sample sum from the recipe
+    WITHOUT touching any container bytes, so one wrong unfilter
+    prediction or header byte breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from baguetter_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        media_decode_stats,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 3 + d % 5, 5 + d % 3
+                ch = (1, 3, 4)[d % 3]
+                i = np.arange(w * h * ch, dtype=np.int64)
+                px = ((d * 11 + i * 7) % 256).astype(np.uint8)
+                rows.append((str(d), "image", encode_png(px, w, h, ch), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = _media_doc_ids(spark, sf_dir).mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return media_decode_stats(media).select(
+        "media_id", "format", "width", "height", "n_channels",
+        "n_samples", "sample_sum",
+    )
+
+
+PNG_DECODE_SQL = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_N_MEDIA_DOCS}),
+dims AS (SELECT doc_id, 3 + doc_id % 5 AS w, 5 + doc_id % 3 AS h,
+                CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+         FROM d),
+px AS (SELECT doc_id, w, h, ch, unnest(range(0, w * h * ch)) AS i FROM dims)
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'png' AS format,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(w * h * ch AS BIGINT) AS n_samples,
+       CAST(sum((doc_id * 11 + i * 7) % 256) AS BIGINT) AS sample_sum
+FROM px GROUP BY doc_id, w, h, ch
+"""
+
+
 PPM_DECODE_SQL = f"""
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_N_MEDIA_DOCS}),
 dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM d),
@@ -275,6 +331,7 @@ def gate5_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_5g": ngram_5g_query,
         "multimodal_decode_ppm": ppm_decode_query,
         "multimodal_decode_wav": wav_decode_query,
+        "multimodal_decode_png": png_decode_query,
     }
 
 
@@ -284,4 +341,5 @@ def gate5_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_5g": NGRAM_5G_SQL,
         "multimodal_decode_ppm": PPM_DECODE_SQL,
         "multimodal_decode_wav": WAV_DECODE_SQL,
+        "multimodal_decode_png": PNG_DECODE_SQL,
     }

@@ -4,20 +4,23 @@ Image/audio/video payloads ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels.
 
-Decode status (round 4): formats that are pure-numpy-decodable from their
-PUBLIC specs are decoded FOR REAL — binary PPM/PGM (netpbm P6/P5 headers +
-raw raster) and RIFF/WAVE PCM (8/16-bit) — see ``decode_ppm`` /
-``decode_wav``; ``media_features(allow_stub=False)`` produces genuine
-content features (normalized 16-bin histograms of decoded pixels/samples)
-for those formats, and ``media_decode_stats`` emits integer-exact decode
-digests (dimensions, sample sums) that the driver-gate DuckDB oracle
-cross-checks from closed-form synthesis (gate5 rows ``multimodal_decode_ppm``
-/ ``multimodal_decode_wav``).  Compressed codecs (JPEG/PNG/MP3/H.264...)
-still need libraries absent from this container, so payloads that are not
-netpbm/WAV keep the previous contract: ``allow_stub=True`` runs the
-deterministic fake featurizer (SHA-256 -> unit-norm float vector) through
-the same Spark plumbing, and ``allow_stub=False`` raises
-``NotImplementedError`` naming the missing codec.
+Decode status (rounds 4-5): formats decodable offline from their PUBLIC
+specs are decoded FOR REAL — binary PPM/PGM (netpbm P6/P5 headers + raw
+raster), RIFF/WAVE PCM (8/16-bit), and non-interlaced 8-bit PNG (stdlib
+zlib inflate + pure-numpy scanline unfiltering, all five filter types) —
+see ``decode_ppm`` / ``decode_wav`` / ``decode_png``;
+``media_features(allow_stub=False)`` produces genuine content features
+(normalized 16-bin histograms of decoded pixels/samples) for those
+formats, and ``media_decode_stats`` emits integer-exact decode digests
+(dimensions, sample sums) that the driver-gate DuckDB oracle cross-checks
+from closed-form synthesis (gate5 rows ``multimodal_decode_ppm`` /
+``multimodal_decode_wav`` / ``multimodal_decode_png``).  Entropy/DCT
+codecs (JPEG/MP3/H.264...) still need libraries absent from this
+container, so other payloads keep the previous contract:
+``allow_stub=True`` runs the deterministic fake featurizer (SHA-256 ->
+unit-norm float vector) through the same Spark plumbing, and
+``allow_stub=False`` raises ``NotImplementedError`` naming the missing
+codec.
 """
 
 from __future__ import annotations
@@ -156,6 +159,178 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     return sample_rate, n_channels, samples.astype(np.int32)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> sample channels (bit depth 8 only; palette needs PLTE
+# indirection and sub-byte packing, out of scope for the native decoder)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §6: None/Sub/Up/Average/Paeth).
+
+    ``raw`` is the zlib-decompressed IDAT stream: per scanline one filter
+    byte then width*channels sample bytes (bit depth 8).  Returns the flat
+    uint8 raster, row-major, channels interleaved.  Up/None rows vectorize;
+    Sub/Average/Paeth recur on the left neighbor, so those run per-byte —
+    per-payload work inside an Arrow batch, parallel across media rows."""
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        msg = (
+            f"PNG raster length mismatch: want {height * (stride + 1)} "
+            f"bytes ({height} rows of 1+{stride}), have {len(raw)}"
+        )
+        raise ValueError(msg)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.intp)
+    for r in range(height):
+        row_start = r * (stride + 1)
+        ftype = raw[row_start]
+        filt = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.intp)
+        if ftype == 0:  # None
+            recon = filt
+        elif ftype == 2:  # Up
+            recon = (filt + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-recursive
+            recon = np.zeros(stride, dtype=np.intp)
+            for i in range(stride):
+                a = recon[i - channels] if i >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + prior[i]) >> 1
+                else:
+                    b = prior[i]
+                    c = prior[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[i] = (filt[i] + pred) & 0xFF
+        else:
+            msg = f"invalid PNG filter type {ftype} on row {r}"
+            raise ValueError(msg)
+        out[r] = recon
+        prior = recon.astype(np.intp)
+    return out.reshape(-1)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a non-interlaced 8-bit-depth PNG (color types 0 gray / 2 RGB /
+    4 gray+alpha / 6 RGBA) with stdlib ``zlib`` + the pure-numpy unfilter
+    above — offline-feasible unlike DCT/entropy codecs (JPEG/MP3).
+
+    Returns ``(width, height, channels, samples)`` — flat uint8 raster,
+    row-major, channels interleaved.  Chunk walk per the PNG spec
+    (length u32be, type, data, crc); IHDR is validated, IDAT chunks
+    concatenate into one zlib stream, other chunks are skipped."""
+    if payload[:8] != PNG_MAGIC:
+        msg = "not a PNG payload (bad signature)"
+        raise ValueError(msg)
+    pos = 8
+    ihdr: tuple[int, int, int] | None = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            msg = f"truncated PNG chunk {ctype!r}"
+            raise ValueError(msg)
+        if ctype == b"IHDR":
+            if size != 13:
+                msg = f"IHDR must be 13 bytes, got {size}"
+                raise ValueError(msg)
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, comp, filt, interlace = body[8:13]
+            if bit_depth != 8:
+                msg = f"only bit depth 8 supported (got {bit_depth})"
+                raise ValueError(msg)
+            if color_type not in _PNG_CHANNELS:
+                msg = f"unsupported PNG color type {color_type} (palette needs PLTE)"
+                raise ValueError(msg)
+            if comp != 0 or filt != 0:
+                msg = "non-standard PNG compression/filter method"
+                raise ValueError(msg)
+            if interlace != 0:
+                msg = "Adam7 interlacing not supported"
+                raise ValueError(msg)
+            ihdr = (width, height, _PNG_CHANNELS[color_type])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 8 + size + 4  # length + type + data + crc
+    if ihdr is None or not idat:
+        msg = "PNG missing IHDR or IDAT"
+        raise ValueError(msg)
+    import zlib
+
+    width, height, channels = ihdr
+    raw = zlib.decompress(bytes(idat))
+    return width, height, channels, _png_unfilter(raw, width, height, channels)
+
+
+def encode_png(samples: np.ndarray, width: int, height: int, channels: int) -> bytes:
+    """Minimal valid PNG writer (bit depth 8, color type from channel
+    count), cycling filter type ``row % 5`` so a decode roundtrip
+    exercises every unfilter path.  Exists for fixture synthesis — the
+    gate row and tests build payloads with it and the DuckDB oracle checks
+    the decoded sums from the closed-form recipe, never this encoder."""
+    import zlib
+
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    px = np.asarray(samples, dtype=np.uint8).reshape(height, width * channels)
+    stride = width * channels
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.intp)
+    for r in range(height):
+        ftype = r % 5
+        recon = px[r].astype(np.intp)
+        filt = np.empty(stride, dtype=np.intp)
+        for i in range(stride):
+            a = recon[i - channels] if i >= channels else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = prior[i]
+            elif ftype == 3:
+                pred = (a + prior[i]) >> 1
+            else:
+                b = prior[i]
+                c = prior[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[i] = (recon[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw += filt.astype(np.uint8).tobytes()
+        prior = recon
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _hist_feature(values: np.ndarray, lo: float, hi: float) -> np.ndarray:
     """FEATURE_DIM-bin normalized histogram of decoded content — a real
     (if simple) content feature: identical content -> identical feature,
@@ -174,13 +349,17 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     if payload[:2] in (b"P6", b"P5"):
         _, _, _, px = decode_ppm(payload)
         return _hist_feature(px, 0.0, 256.0)
+    if payload[:8] == PNG_MAGIC:
+        _, _, _, px = decode_png(payload)
+        return _hist_feature(px, 0.0, 256.0)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _, _, samples = decode_wav(payload)
         return _hist_feature(samples, -32768.0, 32768.0)
     msg = (
         f"real {kind} decoding for this payload requires codecs not present "
-        "in this container (only netpbm P5/P6 and PCM WAV decode natively); "
-        "pass allow_stub=True for the deterministic fake"
+        "in this container (only netpbm P5/P6, non-interlaced 8-bit PNG, "
+        "and PCM WAV decode natively); pass allow_stub=True for the "
+        "deterministic fake"
     )
     raise NotImplementedError(msg)
 
@@ -245,6 +424,20 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
                             w,
                             h,
                             3 if payload[:2] == b"P6" else 1,
+                            None,
+                            len(px),
+                            int(px.astype(np.int64).sum()),
+                        )
+                    )
+                elif payload[:8] == PNG_MAGIC:
+                    w, h, ch, px = decode_png(payload)
+                    rows.append(
+                        (
+                            mid,
+                            "png",
+                            w,
+                            h,
+                            ch,
                             None,
                             len(px),
                             int(px.astype(np.int64).sum()),

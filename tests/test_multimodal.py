@@ -165,3 +165,128 @@ def test_media_decode_stats(spark):
     aud = out["aud"]
     assert (aud["format"], aud["sample_rate"], aud["n_channels"]) == ("wav", 16000, 1)
     assert aud["n_samples"] == 100 and aud["sample_sum"] == sum(samples)
+
+
+# ---------------------------------------------------------------- PNG (r5)
+
+
+def _hand_png(width, height, channels, rows_filtered):
+    """Assemble a PNG byte-by-byte WITHOUT encode_png, so decode_png is
+    verified against the spec, not against our own encoder's inverse.
+    ``rows_filtered`` = [(filter_type, [filtered bytes...]), ...]."""
+    import zlib
+
+    from baguetter_spark.operators.multimodal import PNG_MAGIC
+
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    raw = b"".join(bytes([ft]) + bytes(row) for ft, row in rows_filtered)
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_hand_vectors():
+    """Every filter type against hand-computed reconstructions (PNG spec
+    §6; bpp = 3 for RGB).  a = left recon, b = above, c = upper-left."""
+    from baguetter_spark.operators.multimodal import decode_png
+
+    # 3x2 RGB.  Row 0 filter=1 (Sub): recon[i] = filt[i] + recon[i-3]
+    #   filt [10,20,30, 5,5,5, 1,2,3] -> recon [10,20,30, 15,25,35, 16,27,38]
+    # Row 1 filter=4 (Paeth): first pixel a=0,c=0 -> pred=b (above)
+    #   filt [1,1,1, 2,2,2, 250,0,0] over prior row:
+    #   i=0..2: pred=b=[10,20,30] -> [11,21,31]
+    #   i=3..5: a=[11,21,31], b=[15,25,35], c=[10,20,30];
+    #           p=a+b-c=[16,26,36]; pa=5,pb=1,pc=6 each -> pred=b -> [17,27,37]
+    #   i=6..8: a=[17,27,37], b=[16,27,38], c=[15,25,35];
+    #           i=6: p=18,pa=1,pb=2,pc=3 -> a=17 -> (250+17)&255 = 11
+    #           i=7: p=29,pa=2,pb=2,pc=4 -> a=27 -> (0+27) = 27
+    #           i=8: p=40,pa=3,pb=2,pc=5 -> b=38 -> (0+38) = 38
+    payload = _hand_png(3, 2, 3, [
+        (1, [10, 20, 30, 5, 5, 5, 1, 2, 3]),
+        (4, [1, 1, 1, 2, 2, 2, 250, 0, 0]),
+    ])
+    w, h, ch, px = decode_png(payload)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px.tolist() == [10, 20, 30, 15, 25, 35, 16, 27, 38,
+                           11, 21, 31, 17, 27, 37, 11, 27, 38]
+
+    # 2x3 gray: None, Up, Average rows
+    #   row0 f=0: [100, 200]
+    #   row1 f=2 (Up): filt [60, 70] -> [160, (200+70)&255=14]
+    #   row2 f=3 (Avg): filt [8, 9]; i=0: a=0,prior=160 -> 8+80=88;
+    #                   i=1 (bpp=1 so a=88): (88+14)>>1=51 -> 9+51=60
+    payload2 = _hand_png(2, 3, 1, [(0, [100, 200]), (2, [60, 70]), (3, [8, 9])])
+    w, h, ch, px = decode_png(payload2)
+    assert (w, h, ch) == (2, 3, 1)
+    assert px.tolist() == [100, 200, 160, 14, 88, 60]
+
+
+def test_encode_decode_png_roundtrip_all_color_types():
+    import numpy as np
+
+    from baguetter_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        w, h = 5, 7  # h >= 5: the encoder's row%5 cycle hits every filter
+        px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8)
+        got = decode_png(encode_png(px, w, h, ch))
+        assert got[:3] == (w, h, ch)
+        assert np.array_equal(got[3], px)
+
+
+def test_decode_png_errors():
+    import numpy as np
+    import pytest
+
+    from baguetter_spark.operators.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"notapng" + bytes(40))
+    good = encode_png(np.arange(12, dtype=np.uint8), 2, 2, 3)
+    # corrupt IHDR: interlace byte -> 1 (Adam7 unsupported)
+    bad = bytearray(good)
+    bad[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(bytes(bad))
+    # palette color type
+    bad = bytearray(good)
+    bad[8 + 8 + 9] = 3
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bytes(bad))
+    # truncated raster (shorter IDAT payload than h*(1+stride))
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_png(_hand_png(3, 2, 3, [(0, [0] * 9)]))
+
+
+def test_media_decode_stats_png(spark):
+    import numpy as np
+
+    from baguetter_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        media_decode_stats,
+        media_features,
+    )
+
+    px = np.arange(60, dtype=np.uint8)  # 5x4 gray... no: 5*4*3 RGB = 60
+    rows = [("png1", "image", encode_png(px, 5, 4, 3), None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = media_decode_stats(df).collect()[0]
+    assert (out["format"], out["width"], out["height"], out["n_channels"]) == (
+        "png", 5, 4, 3)
+    assert out["n_samples"] == 60 and out["sample_sum"] == int(px.sum())
+    feat = media_features(df, allow_stub=False).collect()[0]["feature"]
+    assert len(feat) == 16
