@@ -485,3 +485,109 @@ def pad_to_k(
         .where(F.col("rank") <= top_k)
         .select("query_id", "rank", "doc_idx", "doc_id", "score")
     )
+
+
+def blockmax_skip_stats(
+    index: BM25Index,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    probe_blocks: int = 1,
+) -> DataFrame:
+    """Measurement companion to ``score_queries(pruned="blockmax")`` —
+    round-4 VERDICT item 5 (skip-rate evidence).  Reproduces phases 0/A/θ
+    with the same formulas (upper bound = sum over query terms of
+    weight * block_max; θ = exact k-th score inside the probe_blocks
+    most-promising blocks; keep iff ub >= θ*(1-1e-9)-1e-12) and returns
+    per-query block accounting WITHOUT running phase B:
+
+        (query_id, blocks_total, blocks_probed, blocks_kept,
+         blocks_skipped, theta)
+
+    blocks_total counts blocks containing >= 1 queried term (blocks with
+    no query term never enter the scatter join in the first place — that
+    is term-pushdown skipping, not θ-skipping, so it is deliberately NOT
+    counted here).  blocks_skipped = total - probed - kept is the number
+    of candidate-bearing blocks the θ-gate prunes; at the driver SFs with
+    one 65536-doc block per corpus it is structurally 0 — the evidence
+    run (scripts/blockmax_evidence.py) builds indexes at smaller
+    block_doc_range to reach the multi-block regime a 10^12-doc corpus
+    lives in.  Diagnostic only: the serving path in ``score_queries`` is
+    untouched."""
+    from baguetter_spark.operators.wand import maxscore_topk
+
+    qterms = tokenize_queries(index, queries).select(
+        "query_id",
+        "term_id",
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("float").alias("weight"),
+    )
+    postings = index.postings
+    ub = (
+        postings.join(F.broadcast(qterms), "term_id")
+        .select(
+            "query_id",
+            "block_id",
+            (F.col("weight").cast("double") * F.col("block_max").cast("double")).alias("ubc"),
+        )
+        .groupBy("query_id", "block_id")
+        .agg(F.sum("ubc").alias("ub"))
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.col("block_id").asc())
+    ub = ub.withColumn("brank", F.row_number().over(wb)).persist()
+
+    probe = ub.where(F.col("brank") <= probe_blocks).select("query_id", "block_id")
+    joined = postings.join(F.broadcast(qterms), "term_id").select(
+        "query_id", "block_id", "weight", "n_postings", "doc_ids_delta", "impacts_f32"
+    )
+    dt = index.config.dtype
+    k = top_k
+
+    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        weights = pdf["weight"].to_numpy(dtype=np.float64)
+        doc_arrays = [
+            decode_doc_ids(buf, int(n))
+            for buf, n in zip(pdf["doc_ids_delta"], pdf["n_postings"])
+        ]
+        impact_arrays = [decode_impacts(buf, dt) for buf in pdf["impacts_f32"]]
+        ids, sc = maxscore_topk(weights, doc_arrays, impact_arrays, k)
+        return pd.DataFrame(
+            {"query_id": np.full(len(ids), qid, dtype=object), "doc_idx": ids, "score": sc}
+        )
+
+    cand_a = (
+        joined.join(F.broadcast(probe), ["query_id", "block_id"])
+        .groupBy("query_id", "block_id")
+        .applyInPandas(local_topk, schema="query_id string, doc_idx long, score double")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_idx").asc())
+    theta = (
+        cand_a.withColumn("r", F.row_number().over(wk))
+        .where(F.col("r") == top_k)
+        .select("query_id", F.col("score").alias("theta"))
+    )
+    rest = ub.where(F.col("brank") > probe_blocks).join(theta, "query_id", "left")
+    kept = rest.where(
+        F.col("theta").isNull() | (F.col("ub") >= F.col("theta") * (1.0 - 1e-9) - 1e-12)
+    )
+    totals = ub.groupBy("query_id").agg(F.count("*").alias("blocks_total"))
+    probed = probe.groupBy("query_id").agg(F.count("*").alias("blocks_probed"))
+    n_kept = kept.groupBy("query_id").agg(F.count("*").alias("blocks_kept"))
+    out = (
+        totals.join(probed, "query_id", "left")
+        .join(n_kept, "query_id", "left")
+        .join(theta, "query_id", "left")
+        .select(
+            "query_id",
+            "blocks_total",
+            F.coalesce("blocks_probed", F.lit(0)).alias("blocks_probed"),
+            F.coalesce("blocks_kept", F.lit(0)).alias("blocks_kept"),
+            (
+                F.col("blocks_total")
+                - F.coalesce("blocks_probed", F.lit(0))
+                - F.coalesce("blocks_kept", F.lit(0))
+            ).alias("blocks_skipped"),
+            "theta",
+        )
+    )
+    return out

@@ -172,3 +172,50 @@ def test_negative_weight_pruned_falls_back(spark, mode):
     f = {(r["query_id"], r["doc_id"]): (r["rank"], round(float(r["score"]), 9)) for r in fast}
     p = {(r["query_id"], r["doc_id"]): (r["rank"], round(float(r["score"]), 9)) for r in pruned}
     assert f == p
+
+
+def test_blockmax_skip_stats_accounting_and_skips(spark):
+    """blockmax_skip_stats (round-5 evidence companion): block accounting
+    is consistent (total == probed + kept + skipped) and, on a corpus
+    where one block concentrates the high-impact postings, θ-gating
+    SKIPS the low-bound blocks — while the pruned search itself stays
+    rank-identical to exhaustive (skipping never costs a result)."""
+    from baguetter_spark.operators.search import blockmax_skip_stats
+
+    corpus = gen_transcripts(64, 4, seed=5, vocab_size=60)
+    # rows are (conv, turn)-ordered = doc_idx order: docs 0-15 carry 'hot'
+    # at tf=4 in 4-token docs (huge impact); the rest mention it once in a
+    # 21-token doc (tiny impact) -> block 0 dominates every upper bound
+    texts = []
+    for i in range(len(corpus)):
+        if i < 16:
+            texts.append("hot hot hot hot")
+        else:
+            texts.append("hot " + " ".join(f"filler{(i + j) % 30}" for j in range(20)))
+    corpus["text"] = texts
+    cfg = SparseIndexConfig(
+        preprocessor=TextPreprocessorConfig.parity(), block_doc_range=16
+    )
+    index = build_index(spark, spark.createDataFrame(corpus), cfg)
+    qdf = spark.createDataFrame(pd.DataFrame({"query_id": ["q0"], "text": ["hot"]}))
+
+    stats = blockmax_skip_stats(index, qdf, top_k=3, probe_blocks=1).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    assert s["blocks_total"] == 4  # 64 docs / 16-doc ranges, 'hot' in all
+    assert s["blocks_probed"] == 1
+    assert (
+        s["blocks_total"]
+        == s["blocks_probed"] + s["blocks_kept"] + s["blocks_skipped"]
+    )
+    assert s["blocks_skipped"] >= 1, dict(s.asDict())
+    assert s["theta"] is not None and s["theta"] > 0
+
+    # skipping is rank-safe: blockmax == exhaustive on the same query
+    fast = score_queries(index, qdf, top_k=3, parity=False).collect()
+    bm = score_queries(
+        index, qdf, top_k=3, pruned="blockmax", probe_blocks=1
+    ).collect()
+    f = {(r["query_id"], r["doc_id"]): r["rank"] for r in fast}
+    b = {(r["query_id"], r["doc_id"]): r["rank"] for r in bm}
+    assert f == b
