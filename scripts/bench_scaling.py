@@ -33,6 +33,7 @@ Per-leg medians over clean trials are the official numbers.
 
 Usage (campaign): python scripts/bench_scaling.py [n_turns] [N] [clean_trials]
                     [mode] [--gate-bw GBPS] [--gate-fault MBPS]
+                    [--gate-inleg-median MBPS] [--have-n K] [--have-4n K]
                     [--out FILE.jsonl] [--max-attempts K]
   mode: "sorted" (default — build_index(assume_sorted=True), the production
         path for an Iceberg/parquet table sorted by its key; the build
