@@ -301,6 +301,69 @@ FROM px GROUP BY doc_id, w, h, ch
 """
 
 
+def jpeg_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 stretch: REAL baseline-JPEG decode (operators/jpeg.py —
+    pure-numpy huffman + dequant + IDCT).  JPEG is lossy in general, so
+    the closed-form-oracle trick needs the one regime where it is exact:
+    BLOCK-CONSTANT grayscale images with unit quantization tables encode
+    to a single integer DC coefficient per 8x8 block (all ACs zero) and
+    decode back integer-exactly.  Synthesis: w = 16 + 8*(d%3),
+    h = 16 + 8*(d%2), block (bx, by) value = (d*13 + (by*(w/8) + bx)*17)
+    % 256; the DuckDB oracle recomputes width/height/sample count and
+    sample_sum = 64 * sum(block values) without touching any container
+    byte — one wrong huffman code, predictor, or IDCT scale breaks the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    from baguetter_spark.operators.jpeg import encode_jpeg
+    from baguetter_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_decode_stats,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + 8 * (d % 3), 16 + 8 * (d % 2)
+                wb, hb = w // 8, h // 8
+                img = np.zeros((h, w), dtype=np.uint8)
+                for by in range(hb):
+                    for bx in range(wb):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            d * 13 + (by * wb + bx) * 17
+                        ) % 256
+                rows.append(
+                    (str(d), "image", encode_jpeg(img.reshape(-1), w, h, 1), None)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = _media_doc_ids(spark, sf_dir).mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return media_decode_stats(media).select(
+        "media_id", "format", "width", "height", "n_channels",
+        "n_samples", "sample_sum",
+    )
+
+
+JPEG_DECODE_SQL = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_N_MEDIA_DOCS}),
+dims AS (SELECT doc_id, 16 + 8 * (doc_id % 3) AS w, 16 + 8 * (doc_id % 2) AS h
+         FROM d),
+blocks AS (SELECT doc_id, w, h,
+                  unnest(range(0, (w // 8) * (h // 8))) AS bi FROM dims)
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'jpeg' AS format,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(w * h AS BIGINT) AS n_samples,
+       CAST(64 * sum((doc_id * 13 + bi * 17) % 256) AS BIGINT) AS sample_sum
+FROM blocks GROUP BY doc_id, w, h
+"""
+
+
 PPM_DECODE_SQL = f"""
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_N_MEDIA_DOCS}),
 dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM d),
@@ -332,6 +395,7 @@ def gate5_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_ppm": ppm_decode_query,
         "multimodal_decode_wav": wav_decode_query,
         "multimodal_decode_png": png_decode_query,
+        "multimodal_decode_jpeg": jpeg_decode_query,
     }
 
 
@@ -342,4 +406,5 @@ def gate5_oracle_sql() -> dict[str, str]:
         "multimodal_decode_ppm": PPM_DECODE_SQL,
         "multimodal_decode_wav": WAV_DECODE_SQL,
         "multimodal_decode_png": PNG_DECODE_SQL,
+        "multimodal_decode_jpeg": JPEG_DECODE_SQL,
     }

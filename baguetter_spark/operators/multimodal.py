@@ -6,16 +6,20 @@ struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
 
 Decode status (rounds 4-5): formats decodable offline from their PUBLIC
 specs are decoded FOR REAL — binary PPM/PGM (netpbm P6/P5 headers + raw
-raster), RIFF/WAVE PCM (8/16-bit), and non-interlaced 8-bit PNG (stdlib
-zlib inflate + pure-numpy scanline unfiltering, all five filter types) —
-see ``decode_ppm`` / ``decode_wav`` / ``decode_png``;
+raster), RIFF/WAVE PCM (8/16-bit), non-interlaced 8-bit PNG (stdlib
+zlib inflate + pure-numpy scanline unfiltering, all five filter types),
+and baseline sequential-DCT JPEG (pure-numpy huffman + dequant + IDCT +
+YCbCr, operators/jpeg.py) — see ``decode_ppm`` / ``decode_wav`` /
+``decode_png`` / ``jpeg.decode_jpeg``;
 ``media_features(allow_stub=False)`` produces genuine content features
 (normalized 16-bin histograms of decoded pixels/samples) for those
 formats, and ``media_decode_stats`` emits integer-exact decode digests
 (dimensions, sample sums) that the driver-gate DuckDB oracle cross-checks
 from closed-form synthesis (gate5 rows ``multimodal_decode_ppm`` /
-``multimodal_decode_wav`` / ``multimodal_decode_png``).  Entropy/DCT
-codecs (JPEG/MP3/H.264...) still need libraries absent from this
+``multimodal_decode_wav`` / ``multimodal_decode_png`` /
+``multimodal_decode_jpeg`` — the JPEG row uses block-constant images,
+whose DC-only coding makes the lossy codec integer-exact).  The remaining
+codecs (progressive JPEG, MP3/H.264...) need libraries absent from this
 container, so other payloads keep the previous contract:
 ``allow_stub=True`` runs the deterministic fake featurizer (SHA-256 ->
 unit-norm float vector) through the same Spark plumbing, and
@@ -352,14 +356,19 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     if payload[:8] == PNG_MAGIC:
         _, _, _, px = decode_png(payload)
         return _hist_feature(px, 0.0, 256.0)
+    if payload[:2] == b"\xff\xd8":
+        from baguetter_spark.operators.jpeg import decode_jpeg
+
+        _, _, _, px = decode_jpeg(payload)
+        return _hist_feature(px, 0.0, 256.0)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _, _, samples = decode_wav(payload)
         return _hist_feature(samples, -32768.0, 32768.0)
     msg = (
         f"real {kind} decoding for this payload requires codecs not present "
         "in this container (only netpbm P5/P6, non-interlaced 8-bit PNG, "
-        "and PCM WAV decode natively); pass allow_stub=True for the "
-        "deterministic fake"
+        "baseline JPEG, and PCM WAV decode natively); pass allow_stub=True "
+        "for the deterministic fake"
     )
     raise NotImplementedError(msg)
 
@@ -435,6 +444,22 @@ def media_decode_stats(media: DataFrame) -> DataFrame:
                         (
                             mid,
                             "png",
+                            w,
+                            h,
+                            ch,
+                            None,
+                            len(px),
+                            int(px.astype(np.int64).sum()),
+                        )
+                    )
+                elif payload[:2] == b"\xff\xd8":
+                    from baguetter_spark.operators.jpeg import decode_jpeg
+
+                    w, h, ch, px = decode_jpeg(payload)
+                    rows.append(
+                        (
+                            mid,
+                            "jpeg",
                             w,
                             h,
                             ch,
