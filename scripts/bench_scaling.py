@@ -463,15 +463,15 @@ def main() -> None:
     have_4n = int(flags.get("--have-4n", "0"))
     max_attempts = int(flags.get("--max-attempts", want_clean * 4))
     max_seconds = float(flags.get("--max-seconds", 6 * 3600))
-    # Dirty-window re-probe interval.  Round-5 finding: the probe pair
-    # DEPRESSES ITSELF at short cadence — the 8-proc bandwidth probe's
-    # memory hammering lingers in the host's fault-service QoS, so a
-    # fault probe 30 s later reads the ~100-250 MB/s busy-baseline even
-    # in an open window (observed: campaign read 89-230 for an hour
-    # while a one-shot probe after ~4 min of true idleness read 4135).
-    # The default 150 s lets the self-depression decay between probes;
-    # evidence gates are untouched — this only changes WHEN we look.
-    skip_sleep = float(flags.get("--skip-sleep", "150"))
+    # Dirty-window re-probe interval.  Round-5 measurements: a 5-min
+    # series of fault-ONLY probes at 20 s cadence read 65-470 MB/s (no
+    # healthy reading), the same as probes taken 150 s apart — so the
+    # probe pair does NOT meaningfully depress itself, and the dominant
+    # weather mode here is "mostly-depressed with brief healthy bursts"
+    # (a one-shot 4135 and a campaign leg-start occurred within minutes
+    # of depressed readings).  A medium cadence catches burst onsets
+    # without probe-load concerns; evidence gates are untouched.
+    skip_sleep = float(flags.get("--skip-sleep", "45"))
     out_path = flags.get(
         "--out", os.path.join(REPO, "BENCH", f"scaling_r3_{n_turns}_gated.jsonl")
     )
