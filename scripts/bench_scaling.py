@@ -287,13 +287,53 @@ def fault_probe() -> float:
     return round(json.loads(out.stdout.strip().splitlines()[-1])["mbps"], 1)
 
 
-def probes() -> dict[str, float | None]:
+def _alloc_warmup(seconds: float = 12.0, nprocs: int = 4) -> None:
+    """Protocol v9 (round 5): wake the host's fault-service QoS with a
+    short allocation-heavy burst before probing.
+
+    Measured same-session: idle fault probes read 65-470 MB/s for HOURS
+    (129 consecutive dirty skips) while 8-core legs were running at
+    34-42k turns/s — record-level throughput — and every post-LEG probe
+    read healthy (1039/1557/2097/1914/3231/2615).  A controlled check
+    then read **4613 MB/s immediately after a 12 s 4-proc alloc+fill
+    warmup** vs 65-470 idle minutes before.  Model: the hypervisor
+    grants fault service in proportion to the VM's RECENT MEMORY
+    ACTIVITY — an idle VM's probe underreads the service an allocating
+    job would actually receive (the round-4 pinned-burn depression used
+    zero-allocation spinners: CPU-busy but memory-idle, consistent).
+    The probe exists to predict the service a LEG gets, and a leg is
+    allocation-heavy — so the warmed probe measures the right quantity.
+    Genuine host throttle cannot be warmed away: round-3 throttled legs
+    crawled at 2-6k turns/s WHILE allocating tens of GB (their in-leg
+    samples read 3-200 throughout), so a warmed probe still reads low
+    in that mode.  Gate thresholds are UNCHANGED."""
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c",
+             "import numpy as np, time\n"
+             f"t0=time.time()\n"
+             f"while time.time()-t0<{seconds}:\n"
+             " c=np.empty(64*1024*1024//8); c[:]=1.0; del c"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for i in range(nprocs)
+    ]
+    for p in procs:
+        p.wait(timeout=seconds * 10 + 60)
+
+
+def probes(warmed: bool = True) -> dict[str, float | None]:
     """Fault probe first (one 64 MiB alloc — cheap even when throttled);
     the bandwidth probe prefaults 1 GiB across its children, so it only
-    runs when the window isn't already hopeless by the fault gate."""
+    runs when the window isn't already hopeless by the fault gate.
+    ``warmed`` (protocol v9 default) runs the allocation warmup first —
+    see ``_alloc_warmup``; the emitted dict records the mode."""
+    if warmed:
+        _alloc_warmup()
     fault = fault_probe()
     bw = membw_probe_aggregate() if fault >= SKIP_FAULT else None
-    return {"fault_mbps": fault, "agg_bw_gbps": bw}
+    return {"fault_mbps": fault, "agg_bw_gbps": bw,
+            "alloc_warmed": bool(warmed)}
 
 
 class LegTimeout(Exception):
